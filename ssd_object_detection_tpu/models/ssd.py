@@ -1,0 +1,135 @@
+"""SSD300 / SSD512 network: VGG-16 trunk -> extra conv pyramid -> loc/conf heads.
+
+Re-architecture of the reference's Keras functional graph (models/ssd_model.py:74-171)
+as one flax module compiled by XLA into a single fused program. The convolution stack,
+feature-map taps, head layout, and output shapes match the reference exactly for SSD300:
+
+  trunk (75x75x256) -> MaxPool s2 SAME (38x38)
+  -> [512 3x3, 512 3x3, 512 1x1]                      tap fm0 38x38x512
+  -> [1024 3x3 s2, 1024 1x1]                          tap fm1 19x19x1024
+  -> [256 1x1, 512 3x3 s2]                            tap fm2 10x10x512
+  -> [128 1x1, 256 3x3 s2]                            tap fm3  5x5x256
+  -> [128 1x1, 256 3x3 VALID]                         tap fm4  3x3x256
+  -> [128 1x1, 256 3x3 VALID]                         tap fm5  1x1x256
+  heads: per-map 3x3 convs, n*4 loc + n*classes conf channels, n = (4,6,6,6,4,4)
+  reshape+concat -> loc (B, 8732, 4), conf (B, 8732, classes), raw logits, bg LAST.
+
+The (B,H,W,n*k) -> (B,H*W*n,k) row-major reshape reproduces the reference's anchor
+ordering (models/ssd_model.py:166-167), matching ops/anchors.py.
+
+TPU notes: compute dtype is configurable (bfloat16 recommended — conv FLOPs land on the
+MXU at double rate); params stay float32; head outputs are cast back to float32 so loss
+and decode run at full precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ssd_object_detection_tpu.models.vgg import VGG16Trunk
+from ssd_object_detection_tpu.ops.anchors import SSD300_SPEC, SSD512_SPEC, AnchorSpec
+
+# One extra-pyramid conv: (features, kernel, stride, padding)
+ConvSpec = Tuple[int, int, int, str]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture description; `blocks[i]` ends at feature-map tap i."""
+
+    name: str
+    anchor_spec: AnchorSpec
+    blocks: Tuple[Tuple[ConvSpec, ...], ...]
+
+    @property
+    def image_size(self) -> int:
+        return self.anchor_spec.image_size
+
+
+SSD300_SPEC_MODEL = ModelSpec(
+    name="ssd300",
+    anchor_spec=SSD300_SPEC,
+    blocks=(
+        ((512, 3, 1, "SAME"), (512, 3, 1, "SAME"), (512, 1, 1, "SAME")),
+        ((1024, 3, 2, "SAME"), (1024, 1, 1, "SAME")),
+        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 1, "VALID")),
+        ((128, 1, 1, "SAME"), (256, 3, 1, "VALID")),
+    ),
+)
+
+# SSD512 variant (BASELINE.json config #4): 7 taps; deeper pyramid reaches 1x1 via
+# strided SAME convs (512 -> 128 trunk -> 64 -> 32 -> 16 -> 8 -> 4 -> 2 -> 1).
+SSD512_SPEC_MODEL = ModelSpec(
+    name="ssd512",
+    anchor_spec=SSD512_SPEC,
+    blocks=(
+        ((512, 3, 1, "SAME"), (512, 3, 1, "SAME"), (512, 1, 1, "SAME")),
+        ((1024, 3, 2, "SAME"), (1024, 1, 1, "SAME")),
+        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+    ),
+)
+
+MODEL_SPECS = {"ssd300": SSD300_SPEC_MODEL, "ssd512": SSD512_SPEC_MODEL}
+
+
+class SSD(nn.Module):
+    """Full SSD detector. Input: (B, S, S, 3) in [-1, 1]. Output: (loc, conf_logits)."""
+
+    num_classes: int = 81  # INCLUDING background, which is the LAST channel
+    spec: ModelSpec = SSD300_SPEC_MODEL
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        x = images.astype(self.dtype)
+        x = VGG16Trunk(dtype=self.dtype, name="vgg")(x)
+        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+        feature_maps = []
+        for bi, block in enumerate(self.spec.blocks):
+            for ci, (features, kernel, stride, padding) in enumerate(block):
+                x = nn.Conv(
+                    features,
+                    kernel_size=(kernel, kernel),
+                    strides=(stride, stride),
+                    padding=padding,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"extra{bi}_conv{ci}",
+                )(x)
+                x = nn.relu(x)
+            feature_maps.append(x)
+
+        anchor_spec = self.spec.anchor_spec
+        assert len(feature_maps) == len(anchor_spec.feature_sizes)
+        locs, confs = [], []
+        for i, (fm, n_priors, (fh, fw)) in enumerate(
+            zip(feature_maps, anchor_spec.anchors_per_cell, anchor_spec.feature_sizes)
+        ):
+            assert fm.shape[1:3] == (fh, fw), (
+                f"feature map {i} is {fm.shape[1:3]}, anchor spec expects {(fh, fw)}"
+            )
+            loc = nn.Conv(
+                n_priors * 4, kernel_size=(3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"loc_head{i}",
+            )(fm)
+            conf = nn.Conv(
+                n_priors * self.num_classes, kernel_size=(3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"conf_head{i}",
+            )(fm)
+            locs.append(loc.reshape(loc.shape[0], -1, 4))
+            confs.append(conf.reshape(conf.shape[0], -1, self.num_classes))
+
+        loc_out = jnp.concatenate(locs, axis=1).astype(jnp.float32)
+        conf_out = jnp.concatenate(confs, axis=1).astype(jnp.float32)
+        return loc_out, conf_out

@@ -1,0 +1,121 @@
+"""On-device anchor<->ground-truth matching (the reference's #1 host hot loop).
+
+Reference `match_bbox` (utils/bbox.py:44-91) is a host-side greedy bipartite matcher:
+
+  phase 1 — for each of the T ground truths (in descending best-IoU order): take the
+    global argmax of a working copy of the TxD IoU matrix, record (gt, anchor), zero
+    that row AND column in the copy (so every GT gets exactly one distinct anchor),
+    and zero the anchor's column in the main matrix (utils/bbox.py:62-68);
+  phase 2 — repeatedly take the global argmax of the main matrix; stop when it drops
+    to <= thresh; otherwise record (gt, anchor) and zero the anchor column
+    (utils/bbox.py:71-79). Rows are never zeroed, so one GT may own many anchors but
+    an anchor is never reused.
+
+TPU re-design: phase 1 becomes a `lax.scan` over max_gt steps (the loop is genuinely
+sequential — each pick masks the matrix for the next). Phase 2, however, only ever
+zeroes *columns*, so the greedy order is irrelevant: it is exactly equivalent to an
+independent per-anchor argmax over GTs with best-IoU > thresh, computed in one
+vectorized shot. Ties resolve identically (flat row-major argmax == per-column
+lowest-row argmax).
+
+Ground truths arrive padded to a static max_gt with a validity mask (dynamic shapes
+don't jit); padded rows are assigned IoU -1 so they can never win an argmax against
+real rows (real IoUs are >= 0 under the legacy clamp). Matching the reference, zeroed
+entries are set to exactly 0.0, preserving argmax tie-breaking for valid boxes
+(w, h > 0).
+
+vmap over the batch dimension composes this into the jitted train step, eliminating the
+reference's per-image host matching (SURVEY.md section 3.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ssd_object_detection_tpu.ops import boxes as box_ops
+
+
+class MatchResult(NamedTuple):
+    """Per-anchor targets, shaped like reference match_bbox's return (utils/bbox.py:84-91)."""
+
+    cls: jnp.ndarray  # (D,) int32, class id of matched GT, 0 where unmatched
+    box: jnp.ndarray  # (D, 4) float32, matched GT cxcywh, 0 where unmatched
+    mask: jnp.ndarray  # (D,) bool, True where anchor is matched (positive)
+    gt_index: jnp.ndarray  # (D,) int32, index of matched GT, -1 where unmatched
+
+
+def match_anchors(
+    gt_cls: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchors: jnp.ndarray,
+    thresh: float = 0.5,
+) -> MatchResult:
+    """Match `anchors` (D, 4) against padded GTs (max_gt,) / (max_gt, 4) / (max_gt,).
+
+    Bit-compatible with reference utils/bbox.py:44-91 for valid (positive-size) boxes,
+    verified by golden tests ported from reference tests/utils/test_bbox.py:25-45.
+    """
+    max_gt = gt_boxes.shape[0]
+    num_anchors = anchors.shape[0]
+
+    iou = box_ops.pairwise_iou(gt_boxes, anchors, legacy_clamp=True)  # (max_gt, D)
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    num_valid = jnp.sum(gt_valid.astype(jnp.int32))
+
+    # Phase 1: sequential greedy, one distinct anchor per valid GT.
+    def phase1_step(carry, step_idx):
+        iou_copy, iou_main, anchor_gt = carry
+        active = step_idx < num_valid
+        flat = jnp.argmax(iou_copy)  # row-major ties -> lowest (row, col), as unravel_index(argmax)
+        row = flat // num_anchors
+        col = flat % num_anchors
+        row_hit = jnp.arange(max_gt) == row
+        col_hit = jnp.arange(num_anchors) == col
+        iou_copy = jnp.where(active & (row_hit[:, None] | col_hit[None, :]), 0.0, iou_copy)
+        iou_main = jnp.where(active & col_hit[None, :], 0.0, iou_main)
+        anchor_gt = jnp.where(active & col_hit, row, anchor_gt)
+        return (iou_copy, iou_main, anchor_gt), None
+
+    init = (iou, iou, jnp.full((num_anchors,), -1, dtype=jnp.int32))
+    (_, iou_main, anchor_gt), _ = jax.lax.scan(phase1_step, init, jnp.arange(max_gt, dtype=jnp.int32))
+
+    # Phase 2: per-anchor best remaining GT with IoU strictly > thresh (order-free
+    # equivalent of the reference while-loop; see module docstring).
+    col_best = jnp.max(iou_main, axis=0)
+    col_row = jnp.argmax(iou_main, axis=0).astype(jnp.int32)
+    phase2_hit = (anchor_gt < 0) & (col_best > thresh)
+    anchor_gt = jnp.where(phase2_hit, col_row, anchor_gt)
+
+    mask = anchor_gt >= 0
+    safe_idx = jnp.maximum(anchor_gt, 0)
+    matched_cls = jnp.where(mask, gt_cls[safe_idx].astype(jnp.int32), 0)
+    matched_box = jnp.where(mask[:, None], gt_boxes[safe_idx], 0.0)
+    return MatchResult(cls=matched_cls, box=matched_box, mask=mask, gt_index=anchor_gt)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def build_targets(
+    gt_cls: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchors: jnp.ndarray,
+    thresh: float = 0.5,
+    variances=None,
+):
+    """Batched match + encode: the device-side replacement for the reference's
+    get_train_set target builder (models/ssd_model.py:209-227).
+
+    Args are batched: gt_cls (B, G), gt_boxes (B, G, 4) relative cxcywh, gt_valid (B, G).
+    Returns (cls (B, D) int32, loc (B, D, 4) encoded offsets, mask (B, D) bool).
+
+    Mirroring the reference (models/ssd_model.py:213), the encoder runs over ALL
+    anchors including unmatched ones (whose target box is 0); the loss masks them.
+    """
+    matched = jax.vmap(lambda c, b, v: match_anchors(c, b, v, anchors, thresh))(gt_cls, gt_boxes, gt_valid)
+    loc = box_ops.encode_boxes(matched.box, anchors[None], variances=variances)
+    return matched.cls, loc, matched.mask

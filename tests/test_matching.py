@@ -1,0 +1,143 @@
+"""Matcher parity tests: golden cases from reference tests/utils/test_bbox.py:25-45 plus
+randomized comparison against an independent numpy oracle of the greedy algorithm."""
+
+import numpy as np
+import pytest
+
+from ssd_object_detection_tpu.ops import boxes as box_ops
+from ssd_object_detection_tpu.ops.matching import build_targets, match_anchors
+
+
+def _pad(cls, boxes, max_gt):
+    g = len(cls)
+    cls_p = np.zeros((max_gt,), np.int32)
+    box_p = np.zeros((max_gt, 4), np.float32)
+    valid = np.zeros((max_gt,), bool)
+    cls_p[:g], box_p[:g], valid[:g] = cls, boxes, True
+    return cls_p, box_p, valid
+
+
+def _oracle(gt_cls, gt_boxes, anchors, thresh=0.5):
+    """Numpy restatement of the reference greedy matcher (utils/bbox.py:44-91):
+    phase 1 gives each GT a distinct anchor via global-argmax + row/col zeroing; phase 2
+    greedily claims anchors with IoU > thresh, zeroing columns only."""
+    iou = np.asarray(
+        box_ops.pairwise_iou(gt_boxes.astype(np.float32), anchors.astype(np.float32), legacy_clamp=True)
+    ).copy()
+    n_t, n_d = iou.shape
+    pairs = []
+    work = iou.copy()
+    for _ in range(n_t):
+        r, c = np.unravel_index(np.argmax(work), work.shape)
+        work[r, :] = 0.0
+        work[:, c] = 0.0
+        iou[:, c] = 0.0
+        pairs.append((r, c))
+    while True:
+        r, c = np.unravel_index(np.argmax(iou), iou.shape)
+        if iou[r, c] <= thresh:
+            break
+        pairs.append((r, c))
+        iou[:, c] = 0.0
+    cls = np.zeros((n_d,), np.int32)
+    box = np.zeros((n_d, 4), np.float32)
+    mask = np.zeros((n_d,), bool)
+    for r, c in pairs:
+        mask[c] = True
+        box[c] = gt_boxes[r]
+        cls[c] = int(gt_cls[r])
+    return cls, box, mask
+
+
+def test_identity_match_golden():
+    """Reference tests/utils/test_bbox.py:33-38: each GT claims its exact anchor."""
+    anchors = np.float32([[10, 10, 1, 1], [20, 20, 1.1, 1.1], [20, 20, 0.5, 0.5]])
+    gt_boxes = np.float32([[10, 10, 0.5, 0.5], [20, 20, 1, 1], [20, 20, 0.5, 0.5]])
+    gt_cls = np.int32([0, 1, 2])
+    cls_p, box_p, valid = _pad(gt_cls, gt_boxes, max_gt=5)
+    res = match_anchors(cls_p, box_p, valid, anchors)
+    np.testing.assert_allclose(np.asarray(res.box), gt_boxes, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.cls), gt_cls)
+    assert np.asarray(res.mask).all()
+
+
+def test_bipartite_stealing_golden():
+    """Reference tests/utils/test_bbox.py:39-44: the best anchor is stolen by the
+    higher-IoU GT, forcing the other GT onto the second-best anchor."""
+    anchors = np.float32([[10, 10, 1, 1], [20, 20, 1.1, 1.1], [20, 20, 0.5, 0.5]])
+    gt_boxes = np.float32([[15, 15, 13, 13], [15, 15, 14, 14]])
+    gt_cls = np.int32([0, 1])
+    cls_p, box_p, valid = _pad(gt_cls, gt_boxes, max_gt=4)
+    res = match_anchors(cls_p, box_p, valid, anchors)
+    np.testing.assert_allclose(
+        np.asarray(res.box), [[15, 15, 14, 14], [15, 15, 13, 13], [0, 0, 0, 0]], atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(res.cls), [1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(res.mask), [True, True, False])
+
+
+def test_no_anchor_reuse():
+    """One anchor may never serve two GTs (phase 1 zeroes the matched column)."""
+    anchors = np.float32([[10, 10, 2, 2], [10, 10, 0.5, 0.5], [11, 11, 3, 3]])
+    gt_boxes = np.float32([[10, 10, 1, 1], [11, 11, 2, 2]])
+    gt_cls = np.int32([0, 1])
+    cls_p, box_p, valid = _pad(gt_cls, gt_boxes, max_gt=3)
+    res = match_anchors(cls_p, box_p, valid, anchors)
+    gt_idx = np.asarray(res.gt_index)
+    matched = gt_idx[gt_idx >= 0]
+    # both GTs are matched, to distinct anchors
+    assert set(matched.tolist()) == {0, 1}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_vs_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_gt = int(rng.integers(1, 9))
+    n_anchor = 40
+    anchors = np.concatenate(
+        [rng.uniform(0, 1, (n_anchor, 2)), rng.uniform(0.05, 0.5, (n_anchor, 2))], axis=1
+    ).astype(np.float32)
+    gt_boxes = np.concatenate(
+        [rng.uniform(0, 1, (n_gt, 2)), rng.uniform(0.05, 0.5, (n_gt, 2))], axis=1
+    ).astype(np.float32)
+    gt_cls = rng.integers(0, 80, (n_gt,)).astype(np.int32)
+
+    want_cls, want_box, want_mask = _oracle(gt_cls, gt_boxes, anchors)
+    cls_p, box_p, valid = _pad(gt_cls, gt_boxes, max_gt=12)
+    res = match_anchors(cls_p, box_p, valid, anchors)
+    np.testing.assert_array_equal(np.asarray(res.mask), want_mask)
+    np.testing.assert_array_equal(np.asarray(res.cls), want_cls)
+    np.testing.assert_allclose(np.asarray(res.box), want_box, atol=1e-6)
+
+
+def test_zero_valid_gts():
+    anchors = np.float32([[0.5, 0.5, 0.2, 0.2], [0.2, 0.2, 0.1, 0.1]])
+    cls_p = np.zeros((4,), np.int32)
+    box_p = np.zeros((4, 4), np.float32)
+    valid = np.zeros((4,), bool)
+    res = match_anchors(cls_p, box_p, valid, anchors)
+    assert not np.asarray(res.mask).any()
+
+
+def test_build_targets_batched_shapes_and_encode():
+    rng = np.random.default_rng(3)
+    batch, max_gt, n_anchor = 2, 6, 40
+    anchors = np.concatenate(
+        [rng.uniform(0, 1, (n_anchor, 2)), rng.uniform(0.05, 0.5, (n_anchor, 2))], axis=1
+    ).astype(np.float32)
+    gt_boxes = np.concatenate(
+        [rng.uniform(0, 1, (batch, max_gt, 2)), rng.uniform(0.05, 0.5, (batch, max_gt, 2))], axis=-1
+    ).astype(np.float32)
+    gt_cls = rng.integers(0, 80, (batch, max_gt)).astype(np.int32)
+    valid = np.zeros((batch, max_gt), bool)
+    valid[:, :3] = True
+
+    cls, loc, mask = build_targets(gt_cls, gt_boxes, valid, anchors)
+    assert cls.shape == (batch, n_anchor) and loc.shape == (batch, n_anchor, 4)
+    assert mask.shape == (batch, n_anchor)
+    # encoded loc at matched anchors decodes back to the matched GT box
+    for b in range(batch):
+        res = match_anchors(gt_cls[b], gt_boxes[b], valid[b], anchors)
+        dec = np.asarray(box_ops.decode_boxes(loc[b], anchors))
+        m = np.asarray(res.mask)
+        np.testing.assert_allclose(dec[m], np.asarray(res.box)[m], rtol=1e-4, atol=1e-5)
