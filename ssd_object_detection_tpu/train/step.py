@@ -1,0 +1,143 @@
+"""The jitted SSD train step: targets + forward + loss + grads + update, all on device.
+
+Re-architecture of the reference's eager `_train_step` (models/ssd_model.py:229-287):
+one XLA program per optimizer containing
+  normalize -> on-device anchor matching (ops/matching.py) -> offset encoding
+  -> forward -> MultiBox loss -> backward -> per-tensor clip -> micro-batch
+  accumulation (lax.scan) -> optimizer update.
+
+The reference pays a host round-trip per micro-batch (its loss calls .numpy(),
+models/ssd_model.py:388-394) and runs python-loop gradient accumulation; here the
+micro-batch split (`split_train` in config, reference config/default.yml:40-42) is a
+`lax.scan` inside the same jit, and metrics leave the device once per step.
+
+Clipping semantics follow the reference exactly: each micro-batch gradient tensor is
+clip_by_norm'd to 0.01 BEFORE summation, then the sum is divided by the number of
+micro-batches and applied once (models/ssd_model.py:248-260).
+
+Under a data-parallel mesh the same jitted function runs SPMD: inputs arrive
+batch-sharded, XLA inserts the gradient all-reduce over ICI, and the loss's
+batch-global hard-negative top-k stays global because the sort happens on the logical
+(unsharded) shape — see parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssd_object_detection_tpu.losses import LossInfo, multibox_loss
+from ssd_object_detection_tpu.ops.matching import build_targets
+from ssd_object_detection_tpu.train.optim import clip_by_norm_per_tensor
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static knobs baked into the compiled step."""
+
+    match_thresh: float = 0.5  # reference Config.thresh (models/ssd_model.py:48)
+    neg_pos_ratio: float = 3.0
+    canonical_loss: bool = False
+    variances: Optional[Tuple[float, float]] = None
+    clip_norm: float = 0.01  # reference models/ssd_model.py:249
+    accum_steps: int = 1  # split_train: batch_size // split_batch_size
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(
+    apply_fn: Callable,
+    anchors: jnp.ndarray,
+    tx: optax.GradientTransformation,
+    cfg: StepConfig = StepConfig(),
+):
+    """Returns train_step(state, batch) -> (state, metrics dict of scalars).
+
+    batch: {"image": (B,S,S,3) float32 in [0,1], "gt_cls": (B,G) int32,
+            "gt_boxes": (B,G,4) relative cxcywh, "gt_valid": (B,G) bool}.
+    """
+    anchors = jnp.asarray(anchors)
+
+    def loss_for_micro(params, image, gt_cls, gt_boxes, gt_valid) -> Tuple[jnp.ndarray, LossInfo]:
+        # input arrives [0,1] from the pipeline; reference normalizes to [-1,1]
+        # right before batching (models/ssd_model.py:214)
+        image = (image - 0.5) * 2.0
+        t_cls, t_loc, t_mask = build_targets(
+            gt_cls, gt_boxes, gt_valid, anchors, thresh=cfg.match_thresh, variances=cfg.variances
+        )
+        pred_loc, pred_logits = apply_fn(params, image)
+        info = multibox_loss(
+            t_cls, t_loc, t_mask, pred_loc, pred_logits,
+            neg_pos_ratio=cfg.neg_pos_ratio, canonical=cfg.canonical_loss,
+        )
+        return info.total, info
+
+    grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if cfg.accum_steps <= 1:
+            (_, info), grads = grad_fn(
+                state.params, batch["image"], batch["gt_cls"], batch["gt_boxes"], batch["gt_valid"]
+            )
+            grads = clip_by_norm_per_tensor(grads, cfg.clip_norm)
+        else:
+            def split(x):
+                return x.reshape((cfg.accum_steps, x.shape[0] // cfg.accum_steps) + x.shape[1:])
+
+            micro = {k: split(v) for k, v in batch.items()}
+
+            def scan_body(acc, mb):
+                (_, mb_info), mb_grads = grad_fn(
+                    state.params, mb["image"], mb["gt_cls"], mb["gt_boxes"], mb["gt_valid"]
+                )
+                mb_grads = clip_by_norm_per_tensor(mb_grads, cfg.clip_norm)
+                acc_grads, acc_info = acc
+                return (
+                    jax.tree.map(jnp.add, acc_grads, mb_grads),
+                    jax.tree.map(jnp.add, acc_info, mb_info),
+                ), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_info = LossInfo(*([jnp.zeros(())] * 5))
+            (sum_grads, sum_info), _ = jax.lax.scan(scan_body, (zero_grads, zero_info), micro)
+            grads = jax.tree.map(lambda g: g / cfg.accum_steps, sum_grads)
+            info = jax.tree.map(lambda x: x / cfg.accum_steps, sum_info)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        metrics = {
+            "loss": info.total,
+            "loc_loss": info.loc,
+            "cls_loss_pos": info.cls_pos,
+            "cls_loss_neg": info.cls_neg,
+            "num_positive": info.num_positive,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_forward(apply_fn: Callable):
+    """Jitted inference forward on [0,1] images -> (pred_loc, pred_logits)."""
+
+    @jax.jit
+    def forward(params, image):
+        return apply_fn(params, (image - 0.5) * 2.0)
+
+    return forward

