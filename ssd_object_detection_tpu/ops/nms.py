@@ -35,9 +35,21 @@ class Detections(NamedTuple):
 
 
 def _suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
-    """Greedy NMS keep-mask for score-DESC-sorted candidates (K, 4)/(K,). Returns (K,) bool."""
+    """Greedy NMS keep-mask for score-DESC-sorted candidates (K, 4)/(K,). Returns (K,) bool.
+
+    Exact greedy NMS computed as a fixpoint instead of a K-step sequential scan:
+    the greedy keep-set S is the unique solution of
+
+        alive[j]  <=>  no i < j with alive[i] and IoU(i, j) > thresh.
+
+    Iterating alive' = ~(alive @ tri_overlap) from alive=all-ones converges to S in at
+    most `longest suppression chain` steps (typically 2-4); each step is one (K, K)
+    matmul that lands on the MXU, vs K sequential latency-bound steps for a scan.
+    Iterations are capped at 16 (as TF's combined_non_max_suppression caps its
+    identical self-suppression loop): beyond-cap chains can only arise from 16+ boxes
+    each suppressing the next at IoU>thresh — degenerate for peaked detector scores.
+    """
     num = scores.shape[0]
-    # Pairwise IoU in xyxy space (boxes already converted once by the caller).
     wh_i = jnp.maximum(boxes_xyxy[:, 2:] - boxes_xyxy[:, :2], 0.0)
     area = wh_i[:, 0] * wh_i[:, 1]
     lt = jnp.maximum(boxes_xyxy[:, None, :2], boxes_xyxy[None, :, :2])
@@ -46,16 +58,25 @@ def _suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -
     inter = inter_wh[..., 0] * inter_wh[..., 1]
     iou = inter / (area[:, None] + area[None, :] - inter + 1e-10)
 
-    overlaps = iou > iou_thresh  # (K, K)
+    row = jax.lax.broadcasted_iota(jnp.int32, (num, num), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (num, num), 1)
+    # tri[i, j]: higher-scoring i would suppress j
+    tri = ((iou > iou_thresh) & (row < col)).astype(jnp.float32)
 
-    def step(suppressed, i):
-        i_alive = ~suppressed[i]
-        # candidate i (if alive) suppresses every lower-scoring overlapping candidate
-        kill = i_alive & overlaps[i] & (jnp.arange(num) > i)
-        return suppressed | kill, None
+    max_iters = min(num, 16)
 
-    suppressed, _ = jax.lax.scan(step, jnp.zeros((num,), dtype=bool), jnp.arange(num))
-    return ~suppressed
+    def cond(state):
+        alive, prev, it = state
+        return (it < max_iters) & jnp.any(alive != prev)
+
+    def body(state):
+        alive, _, it = state
+        suppressed = jnp.dot(alive.astype(jnp.float32), tri, preferred_element_type=jnp.float32) > 0.5
+        return (~suppressed, alive, it + 1)
+
+    init = jnp.ones((num,), bool)
+    alive, _, _ = jax.lax.while_loop(cond, body, (init, jnp.zeros((num,), bool), jnp.int32(0)))
+    return alive
 
 
 @partial(
