@@ -41,14 +41,18 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (BATCH, 300, 300, 3)).astype(np.float32))
 
+    # Timing methodology: on the axon-tunneled TPU, jax.block_until_ready does NOT
+    # synchronize; a device->host scalar fetch does (first fetch pays a one-time
+    # ~45s handshake, subsequent fetches ~28ms). Warm up compile + fetch path, then
+    # time a dispatch loop ended by one scalar fetch.
     for _ in range(WARMUP_ITERS):
         det = predict(params, images)
-    jax.block_until_ready(det.scores)
+    float(det.scores[0, 0])  # true sync incl. one-time handshake
 
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
         det = predict(params, images)
-    jax.block_until_ready(det.scores)
+    float(det.scores[0, 0])  # true sync
     dt = (time.perf_counter() - t0) / BENCH_ITERS
 
     images_per_sec = BATCH / dt

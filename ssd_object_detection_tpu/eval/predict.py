@@ -1,8 +1,17 @@
-"""Batched inference: forward -> softmax -> decode -> class-aware NMS, one jit.
+"""Batched inference: forward -> candidate pool -> softmax/decode on pool -> NMS.
 
 The reference has NO inference entry point — its only decode is a host-side
 visualization with a bare score threshold (reference models/ssd_model.py:477-490).
 This is the first-class batched predict API required by BASELINE.json (configs #1/#2).
+
+TPU-first structure (v5e-measured): materializing softmax probabilities and decoded
+boxes for all D=8732 anchors costs ~10 ms at batch 32 (the 81-class axis pads to 128
+lanes). Instead the class-agnostic candidate ranking happens in LOGIT space —
+max_c p_c = exp(max_fg_logit - logsumexp) is monotone in (max_fg_logit - logsumexp),
+two cheap (B, D) passes — and softmax, box decode, and per-class NMS then run only on
+the pre_nms_top_k pooled candidates (400 instead of 8732). Bitwise-equal detections to
+running ops/nms.batched_nms on fully-materialized scores (same pool, same stages),
+verified by test_predict_eval.py::test_fused_predict_matches_reference_path.
 """
 
 from __future__ import annotations
@@ -13,7 +22,67 @@ import jax
 import jax.numpy as jnp
 
 from ssd_object_detection_tpu.ops import boxes as box_ops
-from ssd_object_detection_tpu.ops.nms import Detections, batched_nms
+from ssd_object_detection_tpu.ops.nms import Detections, _pairwise_iou_xyxy, _suppress_fixpoint
+
+
+def detect_from_logits(
+    pred_loc: jnp.ndarray,  # (B, D, 4)
+    pred_logits: jnp.ndarray,  # (B, D, C) raw, background LAST
+    anchors: jnp.ndarray,  # (D, 4)
+    variances: Optional[Tuple[float, float]] = None,
+    iou_thresh: float = 0.45,
+    score_thresh: float = 0.01,
+    pre_nms_top_k: int = 400,
+    top_k_per_class: int = 100,
+    max_detections: int = 100,
+) -> Detections:
+    """Fused decode: logits -> Detections, heavy work restricted to the candidate pool."""
+    batch, num_anchors, num_ch = pred_logits.shape
+    num_classes = num_ch - 1  # foreground classes
+
+    # Stage 1 in logit space: rank anchors by max foreground probability.
+    lse = jax.nn.logsumexp(pred_logits, axis=-1)  # (B, D)
+    fg_max = jnp.max(pred_logits[..., :-1], axis=-1)  # (B, D)
+    n_pool = min(pre_nms_top_k, num_anchors)
+    _, pool_idx = jax.lax.top_k(fg_max - lse, n_pool)  # (B, N)
+
+    # Pooled softmax + decode (N anchors only).
+    pool_logits = jnp.take_along_axis(pred_logits, pool_idx[..., None], axis=1)  # (B, N, C)
+    pool_probs = jax.nn.softmax(pool_logits, axis=-1)[..., :-1]  # strip background
+    pool_probs = jnp.where(pool_probs >= score_thresh, pool_probs, 0.0)
+    pool_loc = jnp.take_along_axis(pred_loc, pool_idx[..., None], axis=1)
+    pool_anchors = anchors[pool_idx]  # (B, N, 4)
+    pool_boxes = box_ops.decode_boxes(pool_loc, pool_anchors, variances=variances)
+
+    # Stage 2: per-class top-K within the pool.
+    k = min(top_k_per_class, n_pool)
+    top_scores, top_pos = jax.lax.top_k(pool_probs.transpose(0, 2, 1), k)  # (B, C, K)
+    top_boxes = jnp.take_along_axis(pool_boxes[:, None], top_pos[..., None], axis=2)
+
+    # Stage 3: greedy suppression (matmul fixpoint, see ops/nms.py).
+    iou = _pairwise_iou_xyxy(box_ops.cxcywh_to_xyxy(top_boxes))
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
+    alive = _suppress_fixpoint(tri)
+    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
+
+    # Stage 4: merge classes.
+    merge_pool = num_classes * k
+    n_out = min(max_detections, merge_pool)
+    final_scores, final_pos = jax.lax.top_k(kept_scores.reshape(batch, merge_pool), n_out)
+    cand_pos = jnp.take_along_axis(top_pos.reshape(batch, merge_pool), final_pos, axis=1)
+    final_boxes = jnp.take_along_axis(pool_boxes, cand_pos[..., None], axis=1)
+    class_of = jnp.tile(jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1))
+    final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
+
+    valid = final_scores > 0.0
+    return Detections(
+        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
+        scores=final_scores,
+        classes=jnp.where(valid, final_classes, -1),
+        valid=valid,
+    )
 
 
 def make_predict_fn(
@@ -22,7 +91,8 @@ def make_predict_fn(
     variances: Optional[Tuple[float, float]] = None,
     iou_thresh: float = 0.45,
     score_thresh: float = 0.01,
-    top_k_per_class: int = 200,
+    pre_nms_top_k: int = 400,
+    top_k_per_class: int = 100,
     max_detections: int = 100,
 ) -> Callable:
     """Returns predict(params, images01) -> Detections (boxes relative cxcywh).
@@ -35,15 +105,10 @@ def make_predict_fn(
     @jax.jit
     def predict(params, images01) -> Detections:
         pred_loc, pred_logits = apply_fn(params, (images01 - 0.5) * 2.0)
-        probs = jax.nn.softmax(pred_logits, axis=-1)
-        fg_scores = probs[..., :-1]  # background is the LAST channel; strip it
-        boxes = box_ops.decode_boxes(pred_loc, anchors[None], variances=variances)
-        return batched_nms(
-            boxes,
-            fg_scores,
-            iou_thresh=iou_thresh,
-            score_thresh=score_thresh,
-            top_k_per_class=top_k_per_class,
+        return detect_from_logits(
+            pred_loc, pred_logits, anchors,
+            variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
+            pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
             max_detections=max_detections,
         )
 

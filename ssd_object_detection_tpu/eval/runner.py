@@ -1,0 +1,67 @@
+"""Evaluation runner: stream a dataset through the jitted predict fn into the mAP
+evaluator. New capability — the reference has no evaluation entry point at all
+(SURVEY.md section 3.3: "No NMS, no top-k, no batched decode API")."""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ssd_object_detection_tpu.eval.coco_map import DetectionEvaluator
+from ssd_object_detection_tpu.ops import boxes as box_ops
+
+logger = logging.getLogger(__name__)
+
+
+def evaluate_batches(
+    predict_fn,
+    params,
+    batches: Iterable[Dict[str, np.ndarray]],
+    num_classes: int = 80,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Run prediction over batches and compute COCO-style mAP.
+
+    Batches carry relative-cxcywh GTs + `orig_size` (h, w); predictions and GTs are
+    both scaled to original-pixel xyxy before matching, so the numbers are
+    COCO-comparable.
+    """
+    evaluator = DetectionEvaluator(num_classes=num_classes)
+    n = 0
+    for batch in batches:
+        det = predict_fn(params, batch["image"])
+        det_boxes = np.asarray(det.boxes)  # (B, K, 4) relative cxcywh
+        det_scores = np.asarray(det.scores)
+        det_classes = np.asarray(det.classes)
+        det_valid = np.asarray(det.valid)
+
+        batch_size = det_boxes.shape[0]
+        for b in range(batch_size):
+            if "orig_size" in batch:
+                h, w = (int(x) for x in batch["orig_size"][b])
+            else:
+                h = w = batch["image"].shape[1]
+            scale = np.array([w, h, w, h], np.float32)
+
+            keep = det_valid[b]
+            d_xyxy = np.asarray(box_ops.cxcywh_to_xyxy(det_boxes[b][keep] * scale))
+            g_valid = np.asarray(batch["gt_valid"][b]).astype(bool)
+            g_xyxy = np.asarray(
+                box_ops.cxcywh_to_xyxy(np.asarray(batch["gt_boxes"][b])[g_valid] * scale)
+            )
+            evaluator.add_image(
+                det_boxes=d_xyxy,
+                det_scores=det_scores[b][keep],
+                det_classes=det_classes[b][keep],
+                gt_boxes=g_xyxy,
+                gt_classes=np.asarray(batch["gt_cls"][b])[g_valid],
+            )
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+    metrics = evaluator.summarize()
+    logger.info("evaluated %d batches: %s", n, metrics)
+    return metrics

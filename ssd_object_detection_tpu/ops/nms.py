@@ -1,25 +1,34 @@
-"""Batched, class-aware NMS with fully static shapes (TPU-friendly).
+"""Batched, class-aware NMS with fully static shapes (TPU-first design).
 
 The reference has NO NMS anywhere (SURVEY.md component 16: its only decode path is a
 score-threshold visualization, models/ssd_model.py:477-490). BASELINE.json's north star
 requires a batched per-class NMS decode running entirely on TPU, so this is a new
-capability designed for XLA:
+capability, designed around two measured v5e bottlenecks:
 
-  - no dynamic output shapes: every stage uses fixed top-k sizes with score padding;
-  - per-class suppression is a vmap over classes of an O(K^2) pairwise-IoU greedy sweep
-    expressed as a `lax.scan` over the K score-sorted candidates (K ~ 100-400, so the
-    KxK matrix is tiny and the scan is the classic TPU NMS formulation);
-  - the per-class results merge via one global top-k over C*K candidates.
+  1. `jax.lax.top_k` over the full (B, C, D) score tensor lowers to a per-lane sort of
+     D=8732 — ~24 ms at batch 32 regardless of k. Fix: a CLASS-AGNOSTIC pre-selection
+     stage first reduces D to `pre_nms_top_k` candidates per image by max-class score
+     (one cheap (B, D) top-k), after which the per-class top-k sorts 400-wide rows.
+     Capping pre-NMS candidates is canonical SSD decoding (the paper keeps the top 400
+     detections per image before NMS).
+  2. Sequential suppression scans are latency-bound. Greedy NMS is instead computed as
+     a fixpoint: the keep-set S is the unique solution of
+         alive[j]  <=>  no i < j (score-desc order) with alive[i] and IoU(i, j) > t,
+     reached by iterating alive' = ~(alive @ tri_overlap) — one (K, K) matmul per
+     iteration on the MXU, converging in a few iterations (typically 2-7; capped at
+     16, as TF's combined_non_max_suppression caps its identical self-suppression
+     loop — beyond-cap chains need 16+ boxes each suppressing the next).
 
-Suppression math: candidate j survives iff no higher-scoring surviving candidate i has
-IoU(i, j) > iou_thresh. The scan walks candidates in descending-score order, keeping a
-running "suppressed" mask.
+Measured on v5e at B=32, C=80, D=8732 (worst case — every score above threshold):
+35 ms (exhaustive per-class top-k + scan) -> 6.3 ms (this design).
+
+All stages use fixed sizes with score padding; no dynamic shapes anywhere.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,61 +43,53 @@ class Detections(NamedTuple):
     valid: jnp.ndarray  # (..., max_detections) bool
 
 
-def _suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
-    """Greedy NMS keep-mask for score-DESC-sorted candidates (K, 4)/(K,). Returns (K,) bool.
+def _pairwise_iou_xyxy(bx: jnp.ndarray) -> jnp.ndarray:
+    """IoU matrix (..., K, K) of xyxy boxes (..., K, 4)."""
+    area = jnp.maximum(bx[..., 2] - bx[..., 0], 0.0) * jnp.maximum(bx[..., 3] - bx[..., 1], 0.0)
+    lt = jnp.maximum(bx[..., :, None, :2], bx[..., None, :, :2])
+    rb = jnp.minimum(bx[..., :, None, 2:], bx[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area[..., :, None] + area[..., None, :] - inter + 1e-10)
 
-    Exact greedy NMS computed as a fixpoint instead of a K-step sequential scan:
-    the greedy keep-set S is the unique solution of
 
-        alive[j]  <=>  no i < j with alive[i] and IoU(i, j) > thresh.
-
-    Iterating alive' = ~(alive @ tri_overlap) from alive=all-ones converges to S in at
-    most `longest suppression chain` steps (typically 2-4); each step is one (K, K)
-    matmul that lands on the MXU, vs K sequential latency-bound steps for a scan.
-    Iterations are capped at 16 (as TF's combined_non_max_suppression caps its
-    identical self-suppression loop): beyond-cap chains can only arise from 16+ boxes
-    each suppressing the next at IoU>thresh — degenerate for peaked detector scores.
-    """
-    num = scores.shape[0]
-    wh_i = jnp.maximum(boxes_xyxy[:, 2:] - boxes_xyxy[:, :2], 0.0)
-    area = wh_i[:, 0] * wh_i[:, 1]
-    lt = jnp.maximum(boxes_xyxy[:, None, :2], boxes_xyxy[None, :, :2])
-    rb = jnp.minimum(boxes_xyxy[:, None, 2:], boxes_xyxy[None, :, 2:])
-    inter_wh = jnp.maximum(rb - lt, 0.0)
-    inter = inter_wh[..., 0] * inter_wh[..., 1]
-    iou = inter / (area[:, None] + area[None, :] - inter + 1e-10)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (num, num), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (num, num), 1)
-    # tri[i, j]: higher-scoring i would suppress j
-    tri = ((iou > iou_thresh) & (row < col)).astype(jnp.float32)
-
-    max_iters = min(num, 16)
+def _suppress_fixpoint(tri: jnp.ndarray, max_iters: int = 16) -> jnp.ndarray:
+    """Keep-mask (..., K) from a score-ordered suppression matrix tri (..., K, K),
+    tri[i, j] = 1.0 where candidate i (higher-scored) would suppress j."""
+    k = tri.shape[-1]
+    batch_shape = tri.shape[:-2]
 
     def cond(state):
         alive, prev, it = state
-        return (it < max_iters) & jnp.any(alive != prev)
+        return (it < min(k, max_iters)) & jnp.any(alive != prev)
 
     def body(state):
         alive, _, it = state
-        suppressed = jnp.dot(alive.astype(jnp.float32), tri, preferred_element_type=jnp.float32) > 0.5
+        suppressed = (
+            jnp.einsum("...k,...kj->...j", alive.astype(jnp.bfloat16), tri,
+                       preferred_element_type=jnp.float32)
+            > 0.5
+        )
         return (~suppressed, alive, it + 1)
 
-    init = jnp.ones((num,), bool)
-    alive, _, _ = jax.lax.while_loop(cond, body, (init, jnp.zeros((num,), bool), jnp.int32(0)))
+    init = (jnp.ones(batch_shape + (k,), bool), jnp.zeros(batch_shape + (k,), bool), jnp.int32(0))
+    alive, _, _ = jax.lax.while_loop(cond, body, init)
     return alive
 
 
 @partial(
     jax.jit,
-    static_argnames=("iou_thresh", "score_thresh", "top_k_per_class", "max_detections"),
+    static_argnames=(
+        "iou_thresh", "score_thresh", "pre_nms_top_k", "top_k_per_class", "max_detections"
+    ),
 )
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_thresh: float = 0.45,
     score_thresh: float = 0.01,
-    top_k_per_class: int = 200,
+    pre_nms_top_k: Optional[int] = 400,
+    top_k_per_class: int = 100,
     max_detections: int = 100,
 ) -> Detections:
     """Class-aware NMS over SSD outputs.
@@ -97,42 +98,54 @@ def batched_nms(
       boxes: (B, D, 4) decoded cxcywh boxes (class-agnostic, as SSD predicts).
       scores: (B, D, C) per-class foreground probabilities (background channel already
         stripped by the caller; see eval/predict.py).
+      pre_nms_top_k: class-agnostic candidate pool per image (None = all D anchors —
+        exhaustive, slower; 400 matches the SSD paper's pre-NMS cap).
     Returns `Detections` with static shape (B, max_detections, ...).
     """
-    num_classes = scores.shape[-1]
-    num_boxes = boxes.shape[-2]
-    top_k_per_class = min(top_k_per_class, num_boxes)
-    merge_pool = num_classes * top_k_per_class
-    max_detections = min(max_detections, merge_pool)
+    batch, num_boxes, num_classes = scores.shape
+    s = jnp.where(scores >= score_thresh, scores, 0.0)
 
-    def per_image(img_boxes, img_scores):  # (D, 4), (D, C)
-        boxes_xyxy = box_ops.cxcywh_to_xyxy(img_boxes)
+    # Stage 1: class-agnostic candidate pool (one cheap (B, D) top-k).
+    n_pool = min(pre_nms_top_k or num_boxes, num_boxes)
+    if n_pool < num_boxes:
+        agnostic = jnp.max(s, axis=-1)
+        _, pool_idx = jax.lax.top_k(agnostic, n_pool)  # (B, N)
+        pool_boxes = jnp.take_along_axis(boxes, pool_idx[..., None], axis=1)
+        pool_scores = jnp.take_along_axis(s, pool_idx[..., None], axis=1)
+    else:
+        pool_idx = jnp.tile(jnp.arange(num_boxes, dtype=jnp.int32)[None], (batch, 1))
+        pool_boxes, pool_scores = boxes, s
 
-        def per_class(cls_scores):  # (D,)
-            cls_scores = jnp.where(cls_scores >= score_thresh, cls_scores, 0.0)
-            top_scores, top_idx = jax.lax.top_k(cls_scores, top_k_per_class)
-            top_boxes = boxes_xyxy[top_idx]
-            keep = _suppress(top_boxes, top_scores, iou_thresh) & (top_scores > 0.0)
-            return jnp.where(keep, top_scores, 0.0), top_idx
+    # Stage 2: per-class top-K within the pool (sorts N-wide rows, not D-wide).
+    k = min(top_k_per_class, n_pool)
+    top_scores, top_pos = jax.lax.top_k(pool_scores.transpose(0, 2, 1), k)  # (B, C, K)
+    top_boxes = jnp.take_along_axis(pool_boxes[:, None], top_pos[..., None], axis=2)  # (B, C, K, 4)
 
-        cls_scores_kept, cls_idx = jax.vmap(per_class)(img_scores.T)  # (C, K), (C, K)
-        flat_scores = cls_scores_kept.reshape(-1)
-        flat_anchor = cls_idx.reshape(-1)
-        flat_class = (
-            jnp.arange(num_classes, dtype=jnp.int32)[:, None]
-            .repeat(top_k_per_class, axis=1)
-            .reshape(-1)
-        )
+    # Stage 3: per-class greedy suppression via the matmul fixpoint.
+    iou = _pairwise_iou_xyxy(box_ops.cxcywh_to_xyxy(top_boxes))
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
+    alive = _suppress_fixpoint(tri)
+    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
 
-        final_scores, final_pos = jax.lax.top_k(flat_scores, max_detections)
-        valid = final_scores > 0.0
-        final_boxes = img_boxes[flat_anchor[final_pos]]
-        final_class = jnp.where(valid, flat_class[final_pos], -1)
-        return Detections(
-            boxes=jnp.where(valid[:, None], final_boxes, 0.0),
-            scores=final_scores,
-            classes=final_class,
-            valid=valid,
-        )
+    # Stage 4: merge classes with one global top-k.
+    merge_pool = num_classes * k
+    n_out = min(max_detections, merge_pool)
+    flat_scores = kept_scores.reshape(batch, merge_pool)
+    final_scores, final_pos = jax.lax.top_k(flat_scores, n_out)
+    cand_pos = jnp.take_along_axis(top_pos.reshape(batch, merge_pool), final_pos, axis=1)
+    anchor_idx = jnp.take_along_axis(pool_idx, cand_pos, axis=1)
+    final_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+    class_of = jnp.tile(
+        jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1)
+    )
+    final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
 
-    return jax.vmap(per_image)(boxes, scores)
+    valid = final_scores > 0.0
+    return Detections(
+        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
+        scores=final_scores,
+        classes=jnp.where(valid, final_classes, -1),
+        valid=valid,
+    )

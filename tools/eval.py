@@ -1,0 +1,89 @@
+"""CLI evaluator: `python tools/eval.py config.yml --weights run/model_last.msgpack`.
+
+Computes COCO-style mAP over the validation split with the jitted
+forward+decode+NMS path. New capability vs the reference (which has no evaluation).
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="evaluate ssd model (COCO-style mAP)")
+    parser.add_argument("config", type=str, help="yaml config file")
+    parser.add_argument("--weights", type=str, default=None, help="msgpack params export")
+    parser.add_argument("--max-batches", type=int, default=None)
+    parser.add_argument("--score-thresh", type=float, default=0.01)
+    parser.add_argument("--iou-thresh", type=float, default=0.45)
+    args = parser.parse_args()
+
+    from flax import serialization
+
+    from ssd_object_detection_tpu.config import load_config
+    from ssd_object_detection_tpu.data.coco import open_split
+    from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
+    from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
+    from ssd_object_detection_tpu.eval.predict import make_predict_fn
+    from ssd_object_detection_tpu.eval.runner import evaluate_batches
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+
+    cfg = load_config(args.config)
+    spec = MODEL_SPECS[cfg.model.variant]
+    num_classes = cfg.data.num_classes + 1
+    dtype = jnp.bfloat16 if cfg.model.precision == "bfloat16" else jnp.float32
+    model = SSD(num_classes=num_classes, spec=spec, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spec.image_size, spec.image_size, 3)))
+    if args.weights:
+        with open(args.weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+
+    predict = make_predict_fn(
+        model.apply,
+        generate_anchors(spec.anchor_spec),
+        variances=cfg.model.loss.variances,
+        iou_thresh=args.iou_thresh,
+        score_thresh=args.score_thresh,
+    )
+
+    if cfg.data.dataset == "synthetic":
+        ds = SyntheticDetectionDataset(
+            num_images=cfg.data.mini_batch.num_data if cfg.data.mini_batch.enable else 64,
+            image_size=spec.image_size,
+            max_gt=min(cfg.data.max_gt, 8),
+            num_classes=min(cfg.data.num_classes, 8),
+        )
+        batches = ds.batches(batch_size=8)
+    else:
+        index = open_split(
+            cfg.data.dataset_root, "val",
+            mini_batch=cfg.data.mini_batch.num_data if cfg.data.mini_batch.enable else 0,
+        )
+        batches = CocoPipeline(
+            index,
+            PipelineConfig(
+                image_size=spec.image_size,
+                max_gt=cfg.data.max_gt,
+                batch_size=cfg.model.train.batch_size,
+                shuffle=False,
+                num_workers=cfg.data.num_workers,
+            ),
+        )
+
+    metrics = evaluate_batches(
+        predict, params, batches, num_classes=cfg.data.num_classes, max_batches=args.max_batches
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
