@@ -60,14 +60,23 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
     if rec.boxes.shape[0] == 0:
         return None  # reference skips empty images (coco/make_dataset.py:126-127)
     path = index.image_path(rec)
-    if path is None:
-        raise RuntimeError(
-            "image directory missing; URL streaming requires network egress "
-            f"(would fetch {rec.coco_url})"
-        )
-    image = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8, grayscale already expanded
+    if path is not None:
+        image = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8, grayscale already expanded
+    else:
+        # stream from coco_url like the reference (coco/make_dataset.py:116-120);
+        # requires network egress
+        import urllib.request
+
+        logger.debug("downloading image: %s", rec.coco_url)
+        try:
+            with urllib.request.urlopen(rec.coco_url, timeout=30) as r:
+                data = np.frombuffer(r.read(), np.uint8)
+            image = cv2.imdecode(data, cv2.IMREAD_COLOR)
+        except OSError as e:
+            logger.warning("failed to fetch %s: %s; skipping", rec.coco_url, e)
+            return None
     if image is None:
-        logger.warning("unreadable image %s; skipping", path)
+        logger.warning("unreadable image %s; skipping", path or rec.coco_url)
         return None
     image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
     h, w = image.shape[:2]

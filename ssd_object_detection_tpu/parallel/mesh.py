@@ -49,3 +49,24 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(iterator, mesh: Optional[Mesh] = None, axis_name: str = "data"):
+    """Yield device-resident batches one step ahead of the consumer.
+
+    Overlaps host batch assembly + H2D transfer with device compute (jax.device_put
+    is async): while the train step for batch N runs, batch N+1 is already in flight.
+    With a mesh, batches are sharded along the leading axis; otherwise placed on the
+    default device.
+    """
+    pending = None
+    for batch in iterator:
+        if mesh is not None:
+            on_device = shard_batch(batch, mesh, axis_name)
+        else:
+            on_device = jax.tree.map(jax.device_put, batch)
+        if pending is not None:
+            yield pending
+        pending = on_device
+    if pending is not None:
+        yield pending

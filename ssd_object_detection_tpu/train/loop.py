@@ -152,9 +152,12 @@ class Trainer:
                 options=ocp.CheckpointManagerOptions(max_to_keep=mc.checkpoint.keep),
             )
 
-        # resolved-config dump (reference tools/train.py:55-58)
+        # resolved-config dump + TB text summary (reference tools/train.py:55-58)
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             json.dump(self.cfg.to_dict(), f, sort_keys=True, indent=4, separators=(",", ":"))
+        if self._tb is not None:
+            with self._tb.as_default(step=0):
+                tf.summary.text("config", str(self.cfg.to_dict()))
 
         if self.cfg.data.dataset == "coco":
             self.class_names, self.class_colors = COCO_NAMES, coco_colors()
@@ -233,6 +236,16 @@ class Trainer:
         logger.info("params exported to %s", path)
         return path
 
+    def load_params(self, path: str):
+        """Replace the trainer's params with an exported msgpack file — the analog of
+        the reference's model.load() (models/ssd_model.py:409-411)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.params = serialization.from_bytes(self.params, f.read())
+        logger.info("params loaded from %s", path)
+        return self.params
+
     # ------------------------------------------------------------------ logging
     def _log_scalars(self, stage: str, metrics: Dict, lr: float, step: int) -> None:
         if self._tb is None:
@@ -268,8 +281,18 @@ class Trainer:
             image01, np.asarray(t_cls[0]), np.asarray(t_loc[0]), np.asarray(t_mask[0]),
             self.anchors, self.class_names, self.class_colors,
         )
+        # predictions rendered at GT-positive anchors (reference pred_with_mask panel,
+        # models/ssd_model.py:270-273)
+        probs = np.exp(np.asarray(logits[0], np.float64))
+        probs /= probs.sum(-1, keepdims=True)
+        pred_mask_img = viz.render_targets(
+            image01, probs[:, :-1].argmax(-1), np.asarray(loc[0]), np.asarray(t_mask[0]),
+            self.anchors, self.class_names, self.class_colors,
+            scores=probs[:, :-1].max(-1),
+        )
         with self._tb.as_default():
             tf.summary.image(stage + "/pred", pred_img[None], step=step)
+            tf.summary.image(stage + "/pred_with_mask", pred_mask_img[None], step=step)
             tf.summary.image(stage + "/gt", gt_img[None], step=step)
 
     # ------------------------------------------------------------------ train
@@ -283,12 +306,21 @@ class Trainer:
         max_steps: Optional[int] = None,
         log_every: int = 1,
     ) -> TrainState:
+        from ssd_object_detection_tpu.parallel.mesh import device_prefetch
+
         mc = self.cfg.model
         step = int(state.step)
-        for batch in batches:
-            jbatch = {k: jnp.asarray(batch[k]) for k in ("image", "gt_cls", "gt_boxes", "gt_valid")}
-            if self.mesh is not None:
-                jbatch = shard_batch(jbatch, self.mesh)
+
+        host_side = []
+
+        def tee(src):
+            for b in src:
+                host_side.append(b)
+                yield {k: b[k] for k in ("image", "gt_cls", "gt_boxes", "gt_valid")}
+
+        # device_prefetch overlaps H2D transfer of batch N+1 with compute of batch N
+        for jbatch in device_prefetch(tee(batches), self.mesh):
+            batch = host_side.pop(0)
             state, metrics = step_fn(state, jbatch)
             step += 1
             if step % log_every == 0:
