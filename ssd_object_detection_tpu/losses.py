@@ -45,10 +45,17 @@ class LossInfo(NamedTuple):
 
 
 def _softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Sparse softmax cross-entropy, stable, float32."""
+    """Sparse softmax cross-entropy, stable, float32.
+
+    The label logit is extracted with a one-hot reduction instead of
+    take_along_axis: gathers over the (anchors, classes) layout lower poorly on TPU
+    (measured ~4 ms at (32, 8732, 81)), while the one-hot multiply-sum fuses into the
+    logsumexp pass on the VPU.
+    """
     logits = logits.astype(jnp.float32)
     log_z = jax.nn.logsumexp(logits, axis=-1)
-    label_logit = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    label_logit = jnp.sum(logits * onehot, axis=-1)
     return log_z - label_logit
 
 
@@ -70,9 +77,11 @@ def multibox_loss(
     ce_pos = _softmax_ce(pred_logits, gt_cls) * pos
     loss_cls_pos = jnp.sum(ce_pos) / safe_pos
 
-    # background CE for every anchor, masked to negatives
-    bg_labels = jnp.full_like(gt_cls, num_classes - 1)
-    ce_bg = _softmax_ce(pred_logits, bg_labels) * (1.0 - pos)
+    # background CE for every anchor, masked to negatives. Background is the LAST
+    # channel (reference :364-365) — a static index, so no gather at all:
+    # CE(bg) = logsumexp(logits) - logits[..., -1].
+    logits32 = pred_logits.astype(jnp.float32)
+    ce_bg = (jax.nn.logsumexp(logits32, axis=-1) - logits32[..., -1]) * (1.0 - pos)
 
     if canonical:
         # per-image mining: keep the top (ratio * per-image positives) negatives by

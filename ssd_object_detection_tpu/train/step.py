@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from ssd_object_detection_tpu.losses import LossInfo, multibox_loss
-from ssd_object_detection_tpu.ops.matching import build_targets
+from ssd_object_detection_tpu.ops.matching import build_targets, default_use_pallas
 from ssd_object_detection_tpu.train.optim import clip_by_norm_per_tensor
 
 
@@ -53,6 +53,10 @@ class StepConfig:
     variances: Optional[Tuple[float, float]] = None
     clip_norm: float = 0.01  # reference models/ssd_model.py:249
     accum_steps: int = 1  # split_train: batch_size // split_batch_size
+    # None = auto: the Pallas matcher kernel on single-chip TPU, the XLA matcher on
+    # CPU and under multi-chip meshes (GSPMD cannot auto-partition pallas_call; the
+    # XLA matcher shards trivially over the batch)
+    use_pallas_matcher: Optional[bool] = None
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
@@ -71,13 +75,17 @@ def make_train_step(
             "gt_boxes": (B,G,4) relative cxcywh, "gt_valid": (B,G) bool}.
     """
     anchors = jnp.asarray(anchors)
+    use_pallas = cfg.use_pallas_matcher
+    if use_pallas is None:
+        use_pallas = default_use_pallas() and jax.device_count() == 1
 
     def loss_for_micro(params, image, gt_cls, gt_boxes, gt_valid) -> Tuple[jnp.ndarray, LossInfo]:
         # input arrives [0,1] from the pipeline; reference normalizes to [-1,1]
         # right before batching (models/ssd_model.py:214)
         image = (image - 0.5) * 2.0
         t_cls, t_loc, t_mask = build_targets(
-            gt_cls, gt_boxes, gt_valid, anchors, thresh=cfg.match_thresh, variances=cfg.variances
+            gt_cls, gt_boxes, gt_valid, anchors, thresh=cfg.match_thresh,
+            variances=cfg.variances, use_pallas=use_pallas,
         )
         pred_loc, pred_logits = apply_fn(params, image)
         info = multibox_loss(

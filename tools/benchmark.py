@@ -79,11 +79,11 @@ def main():
             state = create_train_state(params, tx)
             batch = {
                 "image": jnp.asarray(rng.uniform(0, 1, (32, size, size, 3)).astype(np.float32)),
-                "gt_cls": jnp.asarray(rng.integers(0, 80, (32, 16)).astype(np.int32)),
+                "gt_cls": jnp.asarray(rng.integers(0, 80, (32, 100)).astype(np.int32)),
                 "gt_boxes": jnp.asarray(np.concatenate(
-                    [rng.uniform(0.2, 0.8, (32, 16, 2)), rng.uniform(0.05, 0.4, (32, 16, 2))], -1
+                    [rng.uniform(0.2, 0.8, (32, 100, 2)), rng.uniform(0.05, 0.4, (32, 100, 2))], -1
                 ).astype(np.float32)),
-                "gt_valid": jnp.asarray(rng.uniform(size=(32, 16)) < 0.7),
+                "gt_valid": jnp.asarray(rng.uniform(size=(32, 100)) < 0.15),  # ~15 objects (COCO-like) at production max_gt=100 padding
             }
 
             def run(state=state, batch=batch, step_fn=step_fn):
