@@ -72,3 +72,25 @@ def test_dp_multiple_steps_stay_in_sync(tiny_setup):
         dp_state, metrics = step_fn(dp_state, jbatch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(dp_state.step) == 3
+
+
+def test_multihost_helpers_single_process(tiny_setup):
+    """Multi-host helpers degrade correctly at process_count()==1 and produce
+    globally-sharded batches equivalent to shard_batch."""
+    from ssd_object_detection_tpu.parallel.multihost import (
+        host_shard_range,
+        initialize_distributed,
+        make_global_batch,
+    )
+
+    initialize_distributed()  # no-op
+    assert host_shard_range(100) == range(0, 100)
+
+    step_fn, state, batch = tiny_setup
+    mesh = make_mesh(8)
+    gb = make_global_batch(batch, mesh)
+    assert gb["image"].shape == batch["image"].shape
+    assert len(gb["image"].sharding.device_set) == 8
+    dp_state = replicate(state, mesh)
+    _, metrics = step_fn(dp_state, gb)
+    assert np.isfinite(float(metrics["loss"]))
