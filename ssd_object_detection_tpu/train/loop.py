@@ -110,6 +110,7 @@ class Trainer:
             canonical_loss=mc.loss.canonical,
             variances=mc.loss.variances,
             accum_steps=accum,
+            donate_state=True,  # states are linear through the loop; saves HBM
         )
         self.step_cfg = step_cfg
         self.main_step = make_train_step(self.model.apply, self.anchors, self.main_tx, step_cfg)

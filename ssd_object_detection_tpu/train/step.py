@@ -57,6 +57,10 @@ class StepConfig:
     # CPU and under multi-chip meshes (GSPMD cannot auto-partition pallas_call; the
     # XLA matcher shards trivially over the batch)
     use_pallas_matcher: Optional[bool] = None
+    # donate the TrainState buffers to the step (params + opt state are consumed and
+    # rewritten every step; donation avoids a full copy). Off by default because
+    # donated states cannot be reused by the caller (e.g. test fixtures).
+    donate_state: bool = False
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
@@ -96,7 +100,7 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if cfg.donate_state else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if cfg.accum_steps <= 1:
             (_, info), grads = grad_fn(
