@@ -39,12 +39,18 @@ class MiniBatchConfig:  # data.mini_batch (config/default.yml:9-11)
 
 
 @dataclasses.dataclass
+class AugmentConfig:  # TPU extension: the reference has no augmentation
+    flip: bool = False
+
+
+@dataclasses.dataclass
 class DataConfig:  # config/default.yml:4-11
     dataset: str = "coco"  # "coco" | "synthetic"
     dataset_root: str = "./datasets/coco"
     shuffle: bool = True
     num_classes: int = 80
     mini_batch: MiniBatchConfig = dataclasses.field(default_factory=MiniBatchConfig)
+    augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
     max_gt: int = 100  # TPU extension: static GT padding (SURVEY.md section 7)
     num_workers: int = 8  # TPU extension: host decode threads
     prefetch: int = 4

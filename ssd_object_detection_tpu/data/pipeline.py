@@ -52,6 +52,8 @@ class PipelineConfig:
     prefetch: int = 4
     drop_remainder: bool = True
     include_crowd: bool = True  # reference makes no iscrowd distinction for training
+    augment_flip: bool = False  # random horizontal flip (box-aware); the reference
+    # has NO augmentation at all (SURVEY.md component 7/8) — this is an opt-in upgrade
     seed: int = 0
 
 
@@ -96,6 +98,13 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
     cxcywh[:, :2] += cxcywh[:, 2:] / 2
     cxcywh /= np.array([w, h, w, h], np.float32)
 
+    if cfg.augment_flip:
+        # per-image deterministic coin keyed by (seed, image id)
+        flip_rng = np.random.default_rng((cfg.seed + 1) * 1000003 + rec.id)
+        if flip_rng.uniform() < 0.5:
+            image = image[:, ::-1]
+            cxcywh[:, 0] = 1.0 - cxcywh[:, 0]
+
     n = min(cxcywh.shape[0], cfg.max_gt)
     gt_boxes = np.zeros((cfg.max_gt, 4), np.float32)
     gt_cls = np.zeros((cfg.max_gt,), np.int32)
@@ -119,6 +128,7 @@ class CocoPipeline:
         self.index = index
         self.cfg = cfg
         self._rng = np.random.default_rng(cfg.seed)
+        self._epoch = 0
 
     def __len__(self) -> int:
         # approximate (empty-annotation images are skipped at iteration time)
@@ -128,9 +138,12 @@ class CocoPipeline:
         records = list(self.index.records)
         if self.cfg.shuffle:
             self._rng.shuffle(records)
+        # vary augmentation coins across epochs while staying deterministic per epoch
+        cfg = dataclasses.replace(self.cfg, seed=self.cfg.seed + 7919 * self._epoch)
+        self._epoch += 1
         with ThreadPoolExecutor(max_workers=self.cfg.num_workers) as pool:
             for sample in pool.map(
-                lambda r: load_and_transform(self.index, r, self.cfg), records, chunksize=4
+                lambda r: load_and_transform(self.index, r, cfg), records, chunksize=4
             ):
                 if sample is not None:
                     yield sample

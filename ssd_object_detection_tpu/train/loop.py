@@ -191,10 +191,57 @@ class Trainer:
                 shuffle=d.shuffle,
                 num_workers=d.num_workers,
                 prefetch=d.prefetch,
+                augment_flip=d.augment.flip,
             ),
         )
         for _ in range(epochs):
             yield from pipe
+
+    def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Validation split (the reference loads one but never consumes it,
+        models/ssd_model.py:291)."""
+        d = self.cfg.data
+        if d.dataset == "synthetic":
+            ds = SyntheticDetectionDataset(
+                num_images=32, image_size=self.spec.image_size,
+                max_gt=min(d.max_gt, 8), num_classes=min(self.cfg.data.num_classes, 8),
+                seed=999,
+            )
+            yield from ds.batches(min(self.cfg.model.train.batch_size, 8))
+            return
+        index = open_split(
+            d.dataset_root, "val",
+            mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
+        )
+        yield from CocoPipeline(
+            index,
+            PipelineConfig(
+                image_size=self.spec.image_size, max_gt=d.max_gt,
+                batch_size=self.cfg.model.train.batch_size, shuffle=False,
+                num_workers=d.num_workers, prefetch=d.prefetch,
+            ),
+        )
+
+    def evaluate(self, params=None, max_batches: Optional[int] = None) -> Dict[str, float]:
+        """COCO-style mAP over the validation split (new capability; SURVEY.md: the
+        reference has no evaluation)."""
+        from ssd_object_detection_tpu.eval.predict import make_predict_fn
+        from ssd_object_detection_tpu.eval.runner import evaluate_batches
+
+        if not hasattr(self, "_eval_predict"):
+            self._eval_predict = make_predict_fn(
+                self.model.apply, self.anchors, variances=self.step_cfg.variances
+            )
+        metrics = evaluate_batches(
+            self._eval_predict, params if params is not None else self.params,
+            self.val_batches(), num_classes=self.cfg.data.num_classes,
+            max_batches=max_batches,
+        )
+        if self._tb is not None:
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(f"val/{k}", v, step=0)
+        return metrics
 
     # ------------------------------------------------------------- checkpoint
     def save_checkpoint(self, state: TrainState, tag: int, phase: str) -> None:

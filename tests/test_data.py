@@ -123,3 +123,25 @@ def test_crowd_filter(mini_coco):
 def test_coco_colors_deterministic():
     assert coco_colors() == coco_colors()
     assert len(coco_colors()) == 80
+
+
+def test_flip_augmentation(mini_coco):
+    index = open_split(mini_coco, "val")
+    base = PipelineConfig(image_size=64, max_gt=5, batch_size=1, augment_flip=False)
+    flip = PipelineConfig(image_size=64, max_gt=5, batch_size=1, augment_flip=True, seed=0)
+    rec = index.records[0]
+    s0 = load_and_transform(index, rec, base)
+    # find a seed whose coin flips this image
+    flipped = None
+    for seed in range(20):
+        cfg = PipelineConfig(image_size=64, max_gt=5, batch_size=1, augment_flip=True, seed=seed)
+        s1 = load_and_transform(index, rec, cfg)
+        if not np.allclose(s1["image"], s0["image"]):
+            flipped = s1
+            break
+    assert flipped is not None, "no seed produced a flip in 20 tries"
+    np.testing.assert_allclose(flipped["image"], s0["image"][:, ::-1], atol=1e-6)
+    # boxes mirror: cx -> 1 - cx, everything else unchanged
+    v = s0["gt_valid"]
+    np.testing.assert_allclose(flipped["gt_boxes"][v][:, 0], 1 - s0["gt_boxes"][v][:, 0], rtol=1e-5)
+    np.testing.assert_allclose(flipped["gt_boxes"][v][:, 1:], s0["gt_boxes"][v][:, 1:], rtol=1e-5)

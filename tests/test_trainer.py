@@ -148,3 +148,11 @@ def test_repo_configs_load():
     for name in ("default.yml", "synthetic.yml"):
         cfg = load_config(os.path.join(root, "config", name))
         assert cfg.model.train.batch_size > 0
+
+
+def test_trainer_evaluate(tmp_path):
+    cfg = _tiny_config(tmp_path, **{"model.train.epoch": 4, "model.warmup.enable": False})
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    state = trainer.train()
+    metrics = trainer.evaluate(state.params, max_batches=2)
+    assert "mAP@0.5" in metrics and 0.0 <= metrics["mAP@0.5"] <= 1.0

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("config", type=str, help="yaml config file")
     parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     parser.add_argument("--run-dir", type=str, default=None, help="override the timestamped run dir")
+    parser.add_argument("--eval-after", action="store_true",
+                        help="compute COCO-style mAP on the validation split after training")
+    parser.add_argument("--eval-max-batches", type=int, default=None)
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -30,6 +33,11 @@ def main():
     trainer = Trainer(config, run_dir=args.run_dir)
     state = trainer.train()
     logging.getLogger(__name__).info("done at step %d; artifacts in %s", int(state.step), trainer.run_dir)
+    if args.eval_after:
+        import json
+
+        metrics = trainer.evaluate(state.params, max_batches=args.eval_max_batches)
+        print(json.dumps(metrics))
 
 
 if __name__ == "__main__":
