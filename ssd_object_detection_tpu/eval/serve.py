@@ -1,0 +1,62 @@
+"""Serving export: freeze the jitted detection function to a portable StableHLO
+artifact (jax.export) that reloads and runs without the model-building python code.
+
+New capability — the reference has no inference/serve path at all (SURVEY.md: "no
+inference/serve CLI"). The artifact bundles params as constants, so a serving process
+needs only jax + the artifact bytes.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ssd_object_detection_tpu.eval.predict import make_predict_fn
+from ssd_object_detection_tpu.ops.nms import Detections
+
+logger = logging.getLogger(__name__)
+
+# Detections is a NamedTuple; register it once so exported functions can return it.
+try:
+    jax_export.register_namedtuple_serialization(
+        Detections, serialized_name="ssd_object_detection_tpu.Detections"
+    )
+except ValueError:  # already registered (repeated import in tests)
+    pass
+
+
+def export_detector(
+    apply_fn,
+    params,
+    anchors,
+    batch_size: int,
+    image_size: int,
+    variances: Optional[Tuple[float, float]] = None,
+    platforms: Optional[Tuple[str, ...]] = None,
+    **nms_kwargs,
+) -> bytes:
+    """Serialize predict(images01) for a fixed batch/image size to StableHLO bytes.
+
+    `platforms` defaults to the current backend; pass ("tpu", "cpu") for a
+    multi-platform artifact.
+    """
+    predict = make_predict_fn(apply_fn, anchors, variances=variances, **nms_kwargs)
+
+    def detect(images01):
+        return predict(params, images01)
+
+    spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(detect), platforms=platforms)(spec)
+    blob = bytes(exported.serialize())
+    logger.info("exported detector: %d bytes, platforms=%s", len(blob), exported.platforms)
+    return blob
+
+
+def load_detector(blob: bytes):
+    """Deserialize an exported detector: returns detect(images01) -> Detections."""
+    exported = jax_export.deserialize(blob)
+    return lambda images01: exported.call(images01)

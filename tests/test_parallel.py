@@ -94,3 +94,29 @@ def test_multihost_helpers_single_process(tiny_setup):
     dp_state = replicate(state, mesh)
     _, metrics = step_fn(dp_state, gb)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_2d_mesh_dp_tp_step_matches_single_device(tiny_setup):
+    """(data=4, model=2) mesh: wide conv kernels shard on output channels; the step
+    still produces the same loss and params as single-device."""
+    from ssd_object_detection_tpu.parallel.shardings import (
+        make_2d_mesh,
+        shard_batch_2d,
+        shard_state_tp,
+    )
+
+    step_fn, state, batch = tiny_setup
+    state1, metrics1 = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_2d_mesh(4, 2)
+    tp_state = shard_state_tp(state, mesh, min_channels=128)  # tiny model: 128-ch convs shard
+    sharded = shard_batch_2d({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    state2, metrics2 = step_fn(tp_state, sharded)
+
+    assert float(metrics1["loss"]) == pytest.approx(float(metrics2["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        # collective reduction order perturbs the last float ulp or two
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6)
+    # and the wide kernels really are sharded over the model axis
+    wide = state2.params["params"]["extra0_conv0"]["kernel"]
+    assert len(wide.sharding.device_set) == 8

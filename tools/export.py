@@ -1,0 +1,62 @@
+"""CLI: export a trained detector to a portable StableHLO serving artifact.
+
+`python tools/export.py config.yml --weights w.msgpack --out detector.stablehlo \
+    --batch-size 8 [--platforms tpu cpu]`
+
+The artifact embeds the weights; serve it with:
+    from ssd_object_detection_tpu.eval.serve import load_detector
+    detect = load_detector(open("detector.stablehlo", "rb").read())
+    detections = detect(images01)   # (B, S, S, 3) float32 in [0, 1]
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="export ssd detector for serving")
+    parser.add_argument("config", type=str)
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--platforms", type=str, nargs="*", default=None)
+    parser.add_argument("--score-thresh", type=float, default=0.01)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from ssd_object_detection_tpu.config import load_config
+    from ssd_object_detection_tpu.eval.serve import export_detector
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+
+    cfg = load_config(args.config)
+    spec = MODEL_SPECS[cfg.model.variant]
+    model = SSD(num_classes=cfg.data.num_classes + 1, spec=spec,
+                dtype=jnp.bfloat16 if cfg.model.precision == "bfloat16" else jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, spec.image_size, spec.image_size, 3)))
+    if args.weights:
+        with open(args.weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+
+    blob = export_detector(
+        model.apply, params, generate_anchors(spec.anchor_spec),
+        batch_size=args.batch_size, image_size=spec.image_size,
+        variances=cfg.model.loss.variances,
+        platforms=tuple(args.platforms) if args.platforms else None,
+        score_thresh=args.score_thresh,
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({len(blob)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
