@@ -136,6 +136,8 @@ class ModelConfig:  # config/default.yml:13-42
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     checkpoint: CheckpointConfig = dataclasses.field(default_factory=CheckpointConfig)
     pretrained_vgg: Optional[str] = None  # path to Keras VGG16 .h5 weights (optional)
+    remat: bool = False  # rematerialize the trunk in backward (larger batches)
+    debug_nans: bool = False  # abort on first NaN/Inf in any jitted computation
 
 
 @dataclasses.dataclass

@@ -83,16 +83,26 @@ MODEL_SPECS = {"ssd300": SSD300_SPEC_MODEL, "ssd512": SSD512_SPEC_MODEL}
 
 
 class SSD(nn.Module):
-    """Full SSD detector. Input: (B, S, S, 3) in [-1, 1]. Output: (loc, conf_logits)."""
+    """Full SSD detector. Input: (B, S, S, 3) in [-1, 1]. Output: (loc, conf_logits).
+
+    `remat=True` rematerializes the VGG trunk in the backward pass (jax.checkpoint):
+    trades ~1 extra trunk forward for dropping the trunk's 300^2-resolution
+    activations (the largest buffers) from HBM — the standard TPU recipe for raising
+    the trainable batch size.
+    """
 
     num_classes: int = 81  # INCLUDING background, which is the LAST channel
     spec: ModelSpec = SSD300_SPEC_MODEL
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
         x = images.astype(self.dtype)
-        x = VGG16Trunk(dtype=self.dtype, name="vgg")(x)
+        trunk = VGG16Trunk
+        if self.remat:
+            trunk = nn.remat(VGG16Trunk)
+        x = trunk(dtype=self.dtype, name="vgg")(x)
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
 
         feature_maps = []

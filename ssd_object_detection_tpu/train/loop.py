@@ -82,8 +82,12 @@ class Trainer:
         spec = MODEL_SPECS[mc.variant]
         self.spec = spec
         self.num_classes = self.cfg.data.num_classes + 1  # background LAST (ref :47)
+        if mc.debug_nans:
+            from ssd_object_detection_tpu.utils.debug import enable_nan_debugging
+
+            enable_nan_debugging(True)
         dtype = jnp.bfloat16 if mc.precision == "bfloat16" else jnp.float32
-        self.model = SSD(num_classes=self.num_classes, spec=spec, dtype=dtype)
+        self.model = SSD(num_classes=self.num_classes, spec=spec, dtype=dtype, remat=mc.remat)
         self.anchors = generate_anchors(spec.anchor_spec)
 
         # optimizers: main (exp decay) + warmup (polynomial), as tools/train.py:31-53

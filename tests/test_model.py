@@ -73,3 +73,34 @@ def test_head_reshape_order_matches_anchor_order(ssd300_small_batch):
     loc, _ = model.apply(params, x)
     sizes = [38 * 38 * 4, 19 * 19 * 6, 10 * 10 * 6, 5 * 5 * 6, 3 * 3 * 4, 1 * 1 * 4]
     assert sum(sizes) == loc.shape[1] == 8732
+
+
+def test_remat_model_same_outputs(ssd300_small_batch):
+    """Remat changes memory behavior, not math."""
+    _, params = ssd300_small_batch
+    x = jnp.ones((1, 300, 300, 3)) * 0.3
+    plain = SSD(num_classes=81, spec=SSD300_SPEC_MODEL)
+    rem = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, remat=True)
+    loc1, conf1 = plain.apply(params, x)
+    loc2, conf2 = rem.apply(params, x)
+    np.testing.assert_allclose(np.asarray(loc1), np.asarray(loc2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(conf1), np.asarray(conf2), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_gradients_match():
+    from tests.test_train_step import NUM_CLASSES, TINY_MODEL
+
+    plain = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    rem = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL, remat=True)
+    params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    x = jnp.ones((2, 64, 64, 3)) * 0.1
+
+    def loss(m):
+        def f(p):
+            loc, conf = m.apply(p, x)
+            return jnp.sum(loc**2) + jnp.sum(conf**2)
+        return jax.grad(f)(params)
+
+    g1, g2 = loss(plain), loss(rem)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
