@@ -90,29 +90,28 @@ class DetectionEvaluator:
             matched = np.zeros((T, n_d), bool)
             ignored = np.zeros((T, n_d), bool)
             if n_d and n_g:
-                # evaluate non-ignored GTs first (pycocotools gt sort order)
-                g_order = np.argsort(g_ign, kind="stable")
-                g_boxes, g_ign = g_boxes[g_order], g_ign[g_order]
                 iou = _iou_xyxy(d_boxes, g_boxes, g_ign)
+                real = ~g_ign
                 for ti, t in enumerate(IOU_THRESHOLDS):
+                    thr = min(t, 1 - 1e-10)
                     gt_taken = np.zeros((n_g,), bool)
+                    # greedy over score-sorted detections; the per-detection GT pick
+                    # is vectorized: prefer the best AVAILABLE non-ignored GT with
+                    # IoU >= thr, else fall back to the best ignored/crowd GT
+                    # (pycocotools semantics; ties resolve to the lowest index here
+                    # where pycocotools takes the highest — identical up to exact
+                    # float ties)
                     for di in range(n_d):
-                        best, best_g = min(t, 1 - 1e-10), -1
-                        for gi in range(n_g):
-                            if gt_taken[gi] and not g_ign[gi]:
-                                continue
-                            # once matched to a real GT, don't fall back to ignored
-                            if best_g >= 0 and not g_ign[best_g] and g_ign[gi]:
-                                break
-                            if iou[di, gi] >= best:
-                                best = iou[di, gi]
-                                best_g = gi
-                        if best_g >= 0:
+                        row = iou[di]
+                        cand = real & ~gt_taken & (row >= thr)
+                        if cand.any():
+                            best_g = int(np.argmax(np.where(cand, row, -1.0)))
                             gt_taken[best_g] = True
-                            if g_ign[best_g]:
-                                ignored[ti, di] = True
-                            else:
-                                matched[ti, di] = True
+                            matched[ti, di] = True
+                            continue
+                        cand = g_ign & (row >= thr)  # crowd GTs absorb any number
+                        if cand.any():
+                            ignored[ti, di] = True
             self._per_class[int(c)].append(
                 _ImageEval(
                     det_scores=d_scores,
