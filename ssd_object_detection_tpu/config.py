@@ -125,6 +125,7 @@ class CheckpointConfig:  # TPU extension: orbax checkpointing + resume (ref has 
 class ModelConfig:  # config/default.yml:13-42
     log_dir: str = "./workshop/run"
     log_interval: int = 10
+    log_scalar_interval: int = 1  # TB scalar cadence (reference logs every step)
     save: str = "model_last"
     train: TrainSection = dataclasses.field(default_factory=TrainSection)
     warmup: WarmupSection = dataclasses.field(default_factory=WarmupSection)

@@ -244,7 +244,9 @@ class Trainer:
         if self._tb is not None:
             with self._tb.as_default():
                 for k, v in metrics.items():
-                    tf.summary.scalar(f"val/{k}", v, step=0)
+                    tf.summary.scalar(f"val/{k}", v, step=int(np.asarray(jax.device_get(
+                        getattr(self, "_last_state", None).step
+                    ))) if hasattr(self, "_last_state") else 0)
         return metrics
 
     # ------------------------------------------------------------- checkpoint
@@ -356,11 +358,15 @@ class Trainer:
         schedule,
         batches: Iterator[Dict[str, np.ndarray]],
         max_steps: Optional[int] = None,
-        log_every: int = 1,
+        log_every: Optional[int] = None,
     ) -> TrainState:
         from ssd_object_detection_tpu.parallel.mesh import device_prefetch
 
         mc = self.cfg.model
+        if log_every is None:
+            # reference logs scalars every step (models/ssd_model.py:281-285); each log
+            # is a device->host fetch, so high-latency links may want this larger
+            log_every = max(mc.log_scalar_interval, 1)
         step = int(state.step)
 
         host_side = []
@@ -374,6 +380,9 @@ class Trainer:
         for jbatch in device_prefetch(tee(batches), self.mesh):
             batch = host_side.pop(0)
             state, metrics = step_fn(state, jbatch)
+            # keep the freshest live state for the crash-save path: with
+            # donate_state=True the PREVIOUS state's buffers are gone
+            self._last_state = state
             step += 1
             if step % log_every == 0:
                 lr = float(schedule(step))
@@ -408,10 +417,16 @@ class Trainer:
                     wstate = replicate(wstate, self.mesh)
                 # reference loops the dataset until warmup_step is reached (:299-311)
                 while int(wstate.step) < mc.warmup.step:
+                    before = int(wstate.step)
                     wstate = self._run_phase(
                         "warmup", wstate, self.warmup_step, self.warmup_schedule,
                         self.train_batches(epochs=1), max_steps=mc.warmup.step,
                     )
+                    if int(wstate.step) == before:
+                        raise RuntimeError(
+                            "warmup made no progress: the dataset produced no batches "
+                            f"(batch_size {mc.train.batch_size} larger than the dataset?)"
+                        )
                 # main optimizer starts fresh on warmed-up params (reference :313)
                 state = create_train_state(wstate.params, self.main_tx)
                 if self.mesh is not None:
@@ -425,9 +440,14 @@ class Trainer:
                 )
                 self.save_checkpoint(state, epoch + 1, "train")
         except Exception:
-            # reference saves error_exit_save.h5 then re-raises (:336-339)
-            crash_path = self.export_params(state.params, "error_exit_save")
-            logger.critical("error during training; params saved to %s", crash_path)
+            # reference saves error_exit_save.h5 then re-raises (:336-339); prefer the
+            # freshest live state (donation deletes superseded buffers)
+            live = getattr(self, "_last_state", state)
+            try:
+                crash_path = self.export_params(live.params, "error_exit_save")
+                logger.critical("error during training; params saved to %s", crash_path)
+            except Exception:  # pragma: no cover - never mask the original error
+                logger.critical("error during training; crash save also failed")
             raise
 
         self.export_params(state.params, mc.save.replace(".h5", ""))

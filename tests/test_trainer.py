@@ -156,3 +156,12 @@ def test_trainer_evaluate(tmp_path):
     state = trainer.train()
     metrics = trainer.evaluate(state.params, max_batches=2)
     assert "mAP@0.5" in metrics and 0.0 <= metrics["mAP@0.5"] <= 1.0
+
+
+def test_warmup_empty_dataset_raises(tmp_path):
+    cfg = _tiny_config(tmp_path, **{"model.train.batch_size": 64})  # > 8 images
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    with pytest.raises(RuntimeError, match="no batches"):
+        trainer.train()
+    # and the crash-save path wrote the params export
+    assert os.path.exists(tmp_path / "run" / "error_exit_save.msgpack")
