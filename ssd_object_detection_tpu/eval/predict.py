@@ -98,7 +98,9 @@ def make_predict_fn(
     """Returns predict(params, images01) -> Detections (boxes relative cxcywh).
 
     `images01` are float32 in [0,1]; normalization to [-1,1] happens inside the jit
-    (fused with the first conv by XLA), matching the training path.
+    (XLA fuses it into conv1's input handling — measured: an explicit weight-fold
+    gains nothing and is WRONG at SAME-padding borders, where padded zeros mean
+    -1 in normalized space).
     """
     anchors = jnp.asarray(anchors)
 
