@@ -41,6 +41,9 @@ class MiniBatchConfig:  # data.mini_batch (config/default.yml:9-11)
 @dataclasses.dataclass
 class AugmentConfig:  # TPU extension: the reference has no augmentation
     flip: bool = False
+    expand: bool = False  # SSD-paper zoom-out
+    crop: bool = False  # SSD-paper min-IoU sampled patch
+    photometric: bool = False
 
 
 @dataclasses.dataclass

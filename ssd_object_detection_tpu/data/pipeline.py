@@ -54,6 +54,9 @@ class PipelineConfig:
     include_crowd: bool = True  # reference makes no iscrowd distinction for training
     augment_flip: bool = False  # random horizontal flip (box-aware); the reference
     # has NO augmentation at all (SURVEY.md component 7/8) — this is an opt-in upgrade
+    augment_expand: bool = False  # SSD-paper zoom-out onto a mean-color canvas
+    augment_crop: bool = False  # SSD-paper min-IoU sampled patch
+    augment_photometric: bool = False  # brightness/contrast/saturation jitter
     seed: int = 0
 
 
@@ -83,7 +86,6 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
     image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
     h, w = image.shape[:2]
     size = cfg.image_size
-    image = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
 
     boxes = rec.boxes
     labels = rec.labels
@@ -94,9 +96,27 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
             return None
     # xywh -> cxcywh, then relative to the ORIGINAL image size
     # (reference coco/make_dataset.py:132 + ssd/make_dataset.py:43-46)
-    cxcywh = boxes.copy()
+    cxcywh = boxes.astype(np.float32).copy()
     cxcywh[:, :2] += cxcywh[:, 2:] / 2
     cxcywh /= np.array([w, h, w, h], np.float32)
+
+    if cfg.augment_expand or cfg.augment_crop or cfg.augment_photometric:
+        # SSD-paper geometric/photometric augmentation runs at ORIGINAL resolution,
+        # before the resize (data/augment.py)
+        from ssd_object_detection_tpu.data.augment import ssd_augment
+
+        aug_rng = np.random.default_rng((cfg.seed + 1) * 99991 + rec.id)
+        image01 = image.astype(np.float32) / 255.0
+        image01, cxcywh, labels = ssd_augment(
+            image01, cxcywh, labels, aug_rng,
+            expand=cfg.augment_expand, crop=cfg.augment_crop,
+            photometric=cfg.augment_photometric,
+        )
+        if cxcywh.shape[0] == 0:
+            return None
+        image = cv2.resize(image01, (size, size))
+    else:
+        image = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
 
     if cfg.augment_flip:
         # per-image deterministic coin keyed by (seed, image id)

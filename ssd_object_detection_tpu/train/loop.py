@@ -196,6 +196,9 @@ class Trainer:
                 num_workers=d.num_workers,
                 prefetch=d.prefetch,
                 augment_flip=d.augment.flip,
+                augment_expand=d.augment.expand,
+                augment_crop=d.augment.crop,
+                augment_photometric=d.augment.photometric,
             ),
         )
         for _ in range(epochs):
