@@ -169,12 +169,16 @@ class SSDObjectDetectionModel:
 
     def predict(self, images01, **nms_kwargs):
         """Batched detection on [0,1] RGB images — the inference API the reference
-        never had (SURVEY.md section 3.3)."""
+        never had (SURVEY.md section 3.3). The jitted fn is cached per nms_kwargs."""
         from ssd_object_detection_tpu.eval.predict import make_predict_fn
 
-        if not hasattr(self, "_predict_fn"):
-            self._predict_fn = make_predict_fn(self._model.apply, self._prior_box, **nms_kwargs)
-        return self._predict_fn(self._params, jnp.asarray(images01))
+        key = tuple(sorted(nms_kwargs.items()))
+        cache = getattr(self, "_predict_fns", None)
+        if cache is None:
+            cache = self._predict_fns = {}
+        if key not in cache:
+            cache[key] = make_predict_fn(self._model.apply, self._prior_box, **nms_kwargs)
+        return cache[key](self._params, jnp.asarray(images01))
 
     # ----------------------------------------------------------- visualization
     def visualize_prior_box(self, image_size: Optional[int] = None, max_cells: int = 6):
