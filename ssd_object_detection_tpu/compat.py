@@ -167,6 +167,30 @@ class SSDObjectDetectionModel:
     def get_log_dir(self) -> str:
         return self._log_dir
 
+    def get_log_writer(self):
+        """TensorBoard writer for this run dir (reference models/ssd_model.py:421-423).
+        Created lazily; returns None when tensorflow is unavailable."""
+        if getattr(self, "_log_writer", None) is None:
+            try:
+                import tensorflow as tf
+
+                self._log_writer = tf.summary.create_file_writer(
+                    os.path.join(self._log_dir, "tensorboard")
+                )
+            except ImportError:  # pragma: no cover - tf is in the base image
+                self._log_writer = None
+        return self._log_writer
+
+    def show_summary(self) -> str:
+        """Print + return the per-layer parameter table (reference show_summary =
+        Keras model.summary() + plot_model PNG, models/ssd_model.py:398-403; the
+        param table is the flax analog, utils/introspect.py)."""
+        from ssd_object_detection_tpu.utils.introspect import param_summary
+
+        table = param_summary(self._params)
+        print(table)
+        return table
+
     def predict(self, images01, **nms_kwargs):
         """Batched detection on [0,1] RGB images — the inference API the reference
         never had (SURVEY.md section 3.3). The jitted fn is cached per nms_kwargs."""
@@ -185,6 +209,33 @@ class SSDObjectDetectionModel:
         from ssd_object_detection_tpu.utils.viz import render_anchor_grid
 
         return render_anchor_grid(self._prior_box, image_size or self._spec.image_size, max_cells)
+
+    def visualize_dataset(self, batches, max_images: int = 8, label_names=None,
+                          label_colors=None):
+        """Render encoded training targets back onto their images (reference
+        models/ssd_model.py:446-475: decode offsets against the prior box and draw).
+        `batches` is any iterable of pipeline batch dicts; returns a list of RGB
+        arrays instead of the reference's interactive cv2.imshow loop."""
+        from ssd_object_detection_tpu.ops.matching import build_targets
+        from ssd_object_detection_tpu.utils.viz import render_targets
+
+        names = label_names or [f"class_{i}" for i in range(self._classes)]
+        colors = label_colors or coco_colors()[: self._classes]
+        out = []
+        for batch in batches:
+            t_cls, t_loc, t_mask = build_targets(
+                jnp.asarray(batch["gt_cls"]), jnp.asarray(batch["gt_boxes"]),
+                jnp.asarray(batch["gt_valid"]), self._prior_box,
+            )
+            for b in range(batch["image"].shape[0]):
+                out.append(render_targets(
+                    np.asarray(batch["image"][b]), np.asarray(t_cls[b]),
+                    np.asarray(t_loc[b]), np.asarray(t_mask[b]),
+                    self._prior_box, names, colors,
+                ))
+                if len(out) >= max_images:
+                    return out
+        return out
 
     def visualize(self, image01, thresh: float = 0.5, label_names=None, label_colors=None):
         """Score-threshold qualitative decode (reference models/ssd_model.py:477-490)."""

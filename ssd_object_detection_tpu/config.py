@@ -128,7 +128,11 @@ class CheckpointConfig:  # TPU extension: orbax checkpointing + resume (ref has 
 class ModelConfig:  # config/default.yml:13-42
     log_dir: str = "./workshop/run"
     log_interval: int = 10
-    log_scalar_interval: int = 1  # TB scalar cadence (reference logs every step)
+    # TB scalar cadence. The reference logs every step (models/ssd_model.py:281-285),
+    # but each log is a device->host fetch; at interval 1 that fetch (~28 ms through
+    # a tunneled link) can cost ~50% of a 54 ms train step. 10 keeps the fetch tax
+    # under 5% while still charting smoothly.
+    log_scalar_interval: int = 10
     save: str = "model_last"
     train: TrainSection = dataclasses.field(default_factory=TrainSection)
     warmup: WarmupSection = dataclasses.field(default_factory=WarmupSection)
@@ -136,6 +140,9 @@ class ModelConfig:  # config/default.yml:13-42
     # TPU extensions
     variant: str = "ssd300"  # "ssd300" | "ssd512"
     precision: str = "bfloat16"  # compute dtype: "float32" | "bfloat16"
+    s2d_stem: bool = True  # space-to-depth block1 (exact rewrite, MXU-friendly conv1)
+    eval_every: int = 0  # run val-split mAP every N epochs (0 = only via --eval-after)
+    progress_bar: bool = True  # tqdm epoch bars with live loss postfix (reference UX)
     match_thresh: float = 0.5  # reference Config.thresh (models/ssd_model.py:48)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     checkpoint: CheckpointConfig = dataclasses.field(default_factory=CheckpointConfig)

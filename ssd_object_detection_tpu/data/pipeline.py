@@ -25,6 +25,7 @@ import dataclasses
 import logging
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -89,9 +90,10 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
 
     boxes = rec.boxes
     labels = rec.labels
+    crowd = rec.iscrowd.astype(bool)
     if not cfg.include_crowd:
-        keep = rec.iscrowd == 0
-        boxes, labels = boxes[keep], labels[keep]
+        keep = ~crowd
+        boxes, labels, crowd = boxes[keep], labels[keep], crowd[keep]
         if boxes.shape[0] == 0:
             return None
     # xywh -> cxcywh, then relative to the ORIGINAL image size
@@ -114,6 +116,10 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
         )
         if cxcywh.shape[0] == 0:
             return None
+        # geometric augmentation drops/reorders boxes; crowd alignment is lost, and
+        # training (the only augmented path) never reads it — evaluation pipelines
+        # run without augmentation (train/loop.py val_batches)
+        crowd = np.zeros((cxcywh.shape[0],), bool)
         image = cv2.resize(image01, (size, size))
     else:
         image = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
@@ -129,13 +135,16 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
     gt_boxes = np.zeros((cfg.max_gt, 4), np.float32)
     gt_cls = np.zeros((cfg.max_gt,), np.int32)
     gt_valid = np.zeros((cfg.max_gt,), bool)
+    gt_crowd = np.zeros((cfg.max_gt,), bool)
     gt_boxes[:n], gt_cls[:n], gt_valid[:n] = cxcywh[:n], labels[:n], True
+    gt_crowd[:n] = crowd[:n]
 
     return {
         "image": image,
         "gt_cls": gt_cls,
         "gt_boxes": gt_boxes,
         "gt_valid": gt_valid,
+        "gt_crowd": gt_crowd,  # COCOeval crowd-ignore flags (eval/coco_map.py)
         "image_id": np.int64(rec.id),
         "orig_size": np.array([h, w], np.int32),
     }
@@ -161,12 +170,32 @@ class CocoPipeline:
         # vary augmentation coins across epochs while staying deterministic per epoch
         cfg = dataclasses.replace(self.cfg, seed=self.cfg.seed + 7919 * self._epoch)
         self._epoch += 1
+        # Bounded in-flight window (~2x workers): ThreadPoolExecutor.map would submit
+        # ALL records eagerly, letting workers decode the entire epoch ahead of a
+        # slow consumer (~100 GB resident for COCO train2017). Futures are consumed
+        # in submission order, so sample order stays deterministic.
+        window = max(2 * self.cfg.num_workers, self.cfg.batch_size)
         with ThreadPoolExecutor(max_workers=self.cfg.num_workers) as pool:
-            for sample in pool.map(
-                lambda r: load_and_transform(self.index, r, cfg), records, chunksize=4
-            ):
-                if sample is not None:
-                    yield sample
+            inflight: deque = deque()
+            it = iter(records)
+            try:
+                while True:
+                    while len(inflight) < window:
+                        try:
+                            rec = next(it)
+                        except StopIteration:
+                            break
+                        inflight.append(
+                            pool.submit(load_and_transform, self.index, rec, cfg)
+                        )
+                    if not inflight:
+                        break
+                    sample = inflight.popleft().result()
+                    if sample is not None:
+                        yield sample
+            finally:
+                for f in inflight:  # consumer stopped early: drop queued work
+                    f.cancel()
 
     def _batches_sync(self) -> Iterator[Dict[str, np.ndarray]]:
         stack = []

@@ -1,31 +1,45 @@
 """COCO-style mAP evaluator (own implementation — pycocotools is not in this image).
 
 Implements the COCOeval bbox protocol: greedy score-ordered matching per (image,
-class, IoU threshold) with crowd-ignore handling, 101-point interpolated AP averaged
-over IoU thresholds 0.50:0.95:0.05 and over classes, maxDets=100. The reference repo
-has no evaluation at all (SURVEY.md section 2: "NMS, mAP/COCOeval evaluation ...
-absent"); BASELINE.json's mAP-parity gate requires one.
+class, IoU threshold, area range) with crowd-ignore handling, 101-point interpolated
+AP averaged over IoU thresholds 0.50:0.95:0.05 and over classes, the standard area
+ranges (all / small < 32^2 / medium / large > 96^2), and average recall at
+maxDets 1/10/100 — the full 12-number COCO summary. The reference repo has no
+evaluation at all (SURVEY.md section 2: "NMS, mAP/COCOeval evaluation ... absent");
+BASELINE.json's mAP-parity gate requires one.
 
-Matching rules (mirroring pycocotools cocoeval.py semantics):
-  - detections sorted by descending score; each claims the unclaimed GT with the
-    highest IoU >= thresh;
+Matching rules (mirroring pycocotools cocoeval.py evaluateImg/accumulate):
+  - detections sorted by descending score, truncated to maxDets; each claims the
+    unclaimed non-ignored GT with the highest IoU >= thresh;
   - a detection may fall back to a crowd/ignored GT (matching it marks the detection
     ignored — neither TP nor FP); crowd IoU uses intersection/det_area;
-  - unmatched detections are FPs; non-ignored unmatched GTs are FNs;
+  - per area range, GTs outside the range are ignored; unmatched detections whose
+    own area falls outside the range are also ignored (cocoeval.py:
+    `dtIg = dtIg | (dtm==0 & outside)`);
   - AP: precision envelope (monotone from the right) sampled at 101 recall points,
-    averaged over classes that have GTs.
+    averaged over classes that have GTs; AR: best recall per class/IoU.
+
+Deviation from pycocotools: GT "area" here is the BOX area; COCO annotations carry a
+segmentation-mask area that can be smaller. Size-bucket metrics on real COCO shift
+slightly; all/AP/AR metrics are unaffected.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)  # 0.50 ... 0.95
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
 
 
 def _iou_xyxy(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
@@ -41,26 +55,83 @@ def _iou_xyxy(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndar
     return inter / np.maximum(union, 1e-10)
 
 
+def _box_area(xyxy: np.ndarray) -> np.ndarray:
+    return np.clip(xyxy[:, 2] - xyxy[:, 0], 0, None) * np.clip(xyxy[:, 3] - xyxy[:, 1], 0, None)
+
+
+@dataclasses.dataclass
+class _RawImage:
+    """Raw per (image, class) inputs; matching is deferred to summarize() because it
+    must be repeated per area range with different ignore sets."""
+
+    det_boxes: np.ndarray  # (n_d, 4) xyxy, already score-sorted desc
+    det_scores: np.ndarray  # (n_d,) descending
+    gt_boxes: np.ndarray  # (n_g, 4) xyxy
+    gt_crowd: np.ndarray  # (n_g,) bool
+
+
 @dataclasses.dataclass
 class _ImageEval:
-    """Per (image, class) match bookkeeping across all IoU thresholds."""
-
-    det_scores: np.ndarray  # (n_det,)
-    det_matched: np.ndarray  # (T, n_det) bool: matched to a non-ignored GT
-    det_ignored: np.ndarray  # (T, n_det) bool: matched to an ignored/crowd GT
+    det_scores: np.ndarray  # (n_d,)
+    det_matched: np.ndarray  # (T, n_d) bool: matched a non-ignored GT
+    det_ignored: np.ndarray  # (T, n_d) bool: ignored (crowd match / out-of-range)
     num_gt: int  # non-ignored GTs
 
 
-class DetectionEvaluator:
-    """Accumulate per-image detections + ground truths, then compute mAP.
+def _match_image(raw: _RawImage, area_rng: Tuple[float, float], max_dets: int) -> _ImageEval:
+    """Greedy COCOeval matching for one (image, class) under one area range."""
+    lo, hi = area_rng
+    d_boxes = raw.det_boxes[:max_dets]
+    d_scores = raw.det_scores[:max_dets]
+    g_area = _box_area(raw.gt_boxes)
+    g_ign = raw.gt_crowd | (g_area < lo) | (g_area > hi)
 
-    Boxes are xyxy in any consistent unit (typically original-image pixels).
-    """
+    n_d, n_g = len(d_boxes), len(raw.gt_boxes)
+    T = len(IOU_THRESHOLDS)
+    matched = np.zeros((T, n_d), bool)
+    ignored = np.zeros((T, n_d), bool)
+    if n_d and n_g:
+        iou = _iou_xyxy(d_boxes, raw.gt_boxes, raw.gt_crowd)
+        real = ~g_ign
+        for ti, t in enumerate(IOU_THRESHOLDS):
+            thr = min(t, 1 - 1e-10)
+            gt_taken = np.zeros((n_g,), bool)
+            # greedy over score-sorted detections; the per-detection GT pick is
+            # vectorized: prefer the best AVAILABLE non-ignored GT with IoU >= thr,
+            # else fall back to the best ignored/crowd GT (pycocotools semantics;
+            # ties resolve to the lowest index here where pycocotools takes the
+            # highest — identical up to exact float ties)
+            for di in range(n_d):
+                row = iou[di]
+                cand = real & ~gt_taken & (row >= thr)
+                if cand.any():
+                    best_g = int(np.argmax(np.where(cand, row, -1.0)))
+                    gt_taken[best_g] = True
+                    matched[ti, di] = True
+                    continue
+                cand = g_ign & (row >= thr)  # crowd/ignored GTs absorb any number
+                if cand.any():
+                    ignored[ti, di] = True
+    if n_d:
+        # unmatched detections outside the area range are ignored, not FPs
+        d_area = _box_area(d_boxes)
+        outside = (d_area < lo) | (d_area > hi)
+        ignored |= (~matched) & outside[None, :]
+    return _ImageEval(
+        det_scores=d_scores, det_matched=matched, det_ignored=ignored,
+        num_gt=int((~g_ign).sum()),
+    )
+
+
+class DetectionEvaluator:
+    """Accumulate per-image detections + ground truths, then compute the COCO
+    12-metric summary. Boxes are xyxy in any consistent unit (typically
+    original-image pixels; the 32^2/96^2 size buckets assume pixels)."""
 
     def __init__(self, num_classes: int = 80, max_dets: int = 100):
         self.num_classes = num_classes
         self.max_dets = max_dets
-        self._per_class: Dict[int, List[_ImageEval]] = defaultdict(list)
+        self._per_class: Dict[int, List[_RawImage]] = defaultdict(list)
 
     def add_image(
         self,
@@ -73,7 +144,7 @@ class DetectionEvaluator:
     ) -> None:
         if gt_ignore is None:
             gt_ignore = np.zeros((len(gt_boxes),), bool)
-        gt_ignore = gt_ignore.astype(bool)
+        gt_ignore = np.asarray(gt_ignore).astype(bool)
 
         order = np.argsort(-det_scores, kind="stable")[: self.max_dets]
         det_boxes, det_scores, det_classes = det_boxes[order], det_scores[order], det_classes[order]
@@ -82,52 +153,19 @@ class DetectionEvaluator:
         for c in classes:
             d_sel = det_classes == c
             g_sel = gt_classes == c
-            d_boxes, d_scores = det_boxes[d_sel], det_scores[d_sel]
-            g_boxes, g_ign = gt_boxes[g_sel], gt_ignore[g_sel]
+            self._per_class[int(c)].append(_RawImage(
+                det_boxes=det_boxes[d_sel], det_scores=det_scores[d_sel],
+                gt_boxes=gt_boxes[g_sel], gt_crowd=gt_ignore[g_sel],
+            ))
 
-            n_d, n_g = len(d_boxes), len(g_boxes)
-            T = len(IOU_THRESHOLDS)
-            matched = np.zeros((T, n_d), bool)
-            ignored = np.zeros((T, n_d), bool)
-            if n_d and n_g:
-                iou = _iou_xyxy(d_boxes, g_boxes, g_ign)
-                real = ~g_ign
-                for ti, t in enumerate(IOU_THRESHOLDS):
-                    thr = min(t, 1 - 1e-10)
-                    gt_taken = np.zeros((n_g,), bool)
-                    # greedy over score-sorted detections; the per-detection GT pick
-                    # is vectorized: prefer the best AVAILABLE non-ignored GT with
-                    # IoU >= thr, else fall back to the best ignored/crowd GT
-                    # (pycocotools semantics; ties resolve to the lowest index here
-                    # where pycocotools takes the highest — identical up to exact
-                    # float ties)
-                    for di in range(n_d):
-                        row = iou[di]
-                        cand = real & ~gt_taken & (row >= thr)
-                        if cand.any():
-                            best_g = int(np.argmax(np.where(cand, row, -1.0)))
-                            gt_taken[best_g] = True
-                            matched[ti, di] = True
-                            continue
-                        cand = g_ign & (row >= thr)  # crowd GTs absorb any number
-                        if cand.any():
-                            ignored[ti, di] = True
-            self._per_class[int(c)].append(
-                _ImageEval(
-                    det_scores=d_scores,
-                    det_matched=matched,
-                    det_ignored=ignored,
-                    num_gt=int((~g_ign).sum()),
-                )
-            )
-
-    def _class_ap(self, evals: List[_ImageEval]) -> Optional[np.ndarray]:
-        """(T,) AP per IoU threshold for one class, or None if the class has no GTs."""
+    @staticmethod
+    def _accumulate(evals: List[_ImageEval]) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """One class, one area range -> ((T,) AP, (T,) recall), or None if no GTs."""
         num_gt = sum(e.num_gt for e in evals)
         if num_gt == 0:
             return None
-        scores = np.concatenate([e.det_scores for e in evals]) if evals else np.zeros((0,))
         T = len(IOU_THRESHOLDS)
+        scores = np.concatenate([e.det_scores for e in evals]) if evals else np.zeros((0,))
         matched = (
             np.concatenate([e.det_matched for e in evals], axis=1)
             if evals else np.zeros((T, 0), bool)
@@ -140,35 +178,67 @@ class DetectionEvaluator:
         matched, ignored = matched[:, order], ignored[:, order]
 
         aps = np.zeros((T,))
+        recalls = np.zeros((T,))
         for ti in range(T):
             keep = ~ignored[ti]
             tp = np.cumsum(matched[ti][keep])
             fp = np.cumsum(~matched[ti][keep])
             if len(tp) == 0:
-                aps[ti] = 0.0  # GTs exist but nothing was detected
-                continue
+                continue  # GTs exist but nothing was detected: AP = recall = 0
             recall = tp / num_gt
             precision = tp / np.maximum(tp + fp, 1e-10)
+            recalls[ti] = recall[-1]
             # precision envelope, then 101-point sampling
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
             idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-            prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
+            prec_at = np.where(
+                idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
+            )
             aps[ti] = prec_at.mean()
-        return aps
+        return aps, recalls
+
+    def _range_stats(self, area_rng: Tuple[float, float], max_dets: int):
+        """(mean AP (T,), mean recall (T,)) over classes with GTs, or None."""
+        per_class_ap, per_class_rec = [], []
+        for c, raws in self._per_class.items():
+            evals = [_match_image(r, area_rng, max_dets) for r in raws]
+            acc = self._accumulate(evals)
+            if acc is not None:
+                per_class_ap.append(acc[0])
+                per_class_rec.append(acc[1])
+        if not per_class_ap:
+            return None
+        return np.stack(per_class_ap), np.stack(per_class_rec)
 
     def summarize(self) -> Dict[str, float]:
-        per_class: Dict[int, np.ndarray] = {}
-        for c, evals in self._per_class.items():
-            ap = self._class_ap(evals)
-            if ap is not None:
-                per_class[c] = ap
-        if not per_class:
-            return {"mAP": 0.0, "mAP@0.5": 0.0, "mAP@0.75": 0.0, "num_classes_evaluated": 0}
-        stacked = np.stack(list(per_class.values()))  # (C, T)
-        return {
-            "mAP": float(stacked.mean()),
-            "mAP@0.5": float(stacked[:, 0].mean()),
-            "mAP@0.75": float(stacked[:, IOU_THRESHOLDS.tolist().index(0.75)].mean()),
-            "num_classes_evaluated": len(per_class),
-        }
+        """The COCO 12-metric summary (plus class count)."""
+        out: Dict[str, float] = {}
+        stats = self._range_stats(AREA_RANGES["all"], self.max_dets)
+        if stats is None:
+            return {
+                "mAP": 0.0, "mAP@0.5": 0.0, "mAP@0.75": 0.0,
+                "mAP_small": 0.0, "mAP_medium": 0.0, "mAP_large": 0.0,
+                "AR@1": 0.0, "AR@10": 0.0, "AR@100": 0.0,
+                "AR_small": 0.0, "AR_medium": 0.0, "AR_large": 0.0,
+                "num_classes_evaluated": 0,
+            }
+        ap_all, rec_all = stats
+        i75 = IOU_THRESHOLDS.tolist().index(0.75)
+        out["mAP"] = float(ap_all.mean())
+        out["mAP@0.5"] = float(ap_all[:, 0].mean())
+        out["mAP@0.75"] = float(ap_all[:, i75].mean())
+        out["AR@100"] = float(rec_all.mean())
+        for md, key in ((1, "AR@1"), (10, "AR@10")):
+            s = self._range_stats(AREA_RANGES["all"], md)
+            out[key] = float(s[1].mean()) if s else 0.0
+        for rng, ap_key, ar_key in (
+            ("small", "mAP_small", "AR_small"),
+            ("medium", "mAP_medium", "AR_medium"),
+            ("large", "mAP_large", "AR_large"),
+        ):
+            s = self._range_stats(AREA_RANGES[rng], self.max_dets)
+            out[ap_key] = float(s[0].mean()) if s else 0.0
+            out[ar_key] = float(s[1].mean()) if s else 0.0
+        out["num_classes_evaluated"] = int(ap_all.shape[0])
+        return out

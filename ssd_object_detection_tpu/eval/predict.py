@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ssd_object_detection_tpu.ops import boxes as box_ops
-from ssd_object_detection_tpu.ops.nms import Detections, _pairwise_iou_xyxy, _suppress_fixpoint
+from ssd_object_detection_tpu.ops.nms import Detections, nms_on_pool
 
 
 def detect_from_logits(
@@ -38,7 +38,6 @@ def detect_from_logits(
 ) -> Detections:
     """Fused decode: logits -> Detections, heavy work restricted to the candidate pool."""
     batch, num_anchors, num_ch = pred_logits.shape
-    num_classes = num_ch - 1  # foreground classes
 
     # Stage 1 in logit space: rank anchors by max foreground probability.
     lse = jax.nn.logsumexp(pred_logits, axis=-1)  # (B, D)
@@ -54,34 +53,11 @@ def detect_from_logits(
     pool_anchors = anchors[pool_idx]  # (B, N, 4)
     pool_boxes = box_ops.decode_boxes(pool_loc, pool_anchors, variances=variances)
 
-    # Stage 2: per-class top-K within the pool.
-    k = min(top_k_per_class, n_pool)
-    top_scores, top_pos = jax.lax.top_k(pool_probs.transpose(0, 2, 1), k)  # (B, C, K)
-    top_boxes = jnp.take_along_axis(pool_boxes[:, None], top_pos[..., None], axis=2)
-
-    # Stage 3: greedy suppression (matmul fixpoint, see ops/nms.py).
-    iou = _pairwise_iou_xyxy(box_ops.cxcywh_to_xyxy(top_boxes))
-    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
-    alive = _suppress_fixpoint(tri)
-    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
-
-    # Stage 4: merge classes.
-    merge_pool = num_classes * k
-    n_out = min(max_detections, merge_pool)
-    final_scores, final_pos = jax.lax.top_k(kept_scores.reshape(batch, merge_pool), n_out)
-    cand_pos = jnp.take_along_axis(top_pos.reshape(batch, merge_pool), final_pos, axis=1)
-    final_boxes = jnp.take_along_axis(pool_boxes, cand_pos[..., None], axis=1)
-    class_of = jnp.tile(jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1))
-    final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
-
-    valid = final_scores > 0.0
-    return Detections(
-        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
-        scores=final_scores,
-        classes=jnp.where(valid, final_classes, -1),
-        valid=valid,
+    # Stages 2-4: shared pooled-candidate core (ops/nms.py).
+    return nms_on_pool(
+        pool_boxes, pool_probs,
+        iou_thresh=iou_thresh, top_k_per_class=top_k_per_class,
+        max_detections=max_detections,
     )
 
 
@@ -107,6 +83,44 @@ def make_predict_fn(
     @jax.jit
     def predict(params, images01) -> Detections:
         pred_loc, pred_logits = apply_fn(params, (images01 - 0.5) * 2.0)
+        return detect_from_logits(
+            pred_loc, pred_logits, anchors,
+            variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
+            pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
+            max_detections=max_detections,
+        )
+
+    return predict
+
+
+def make_fused_predict_fn(
+    apply_fn: Callable,
+    anchors,
+    image_size: int = 300,
+    variances: Optional[Tuple[float, float]] = None,
+    iou_thresh: float = 0.45,
+    score_thresh: float = 0.01,
+    pre_nms_top_k: int = 400,
+    top_k_per_class: int = 100,
+    max_detections: int = 100,
+) -> Callable:
+    """Fully fused inference (BASELINE.json config #2): the host does only JPEG
+    decode; resize, normalization, forward, softmax, decode, and NMS are ONE jit.
+
+    Returns predict(params, canvas_u8, sizes) -> Detections, where `canvas_u8` is a
+    planar (B, 3, Hc, Wc) uint8 canvas and `sizes` the per-image (h, w) valid extents
+    (build both with ops/preprocess.pack_canvas). Replaces the reference's host
+    cv2.resize + /255 + (x-0.5)*2 chain (data_loaders/ssd/make_dataset.py:37-46,
+    models/ssd_model.py:214) with on-device ops (ops/preprocess.py).
+    """
+    from ssd_object_detection_tpu.ops.preprocess import normalize01, resize_bilinear_planar
+
+    anchors = jnp.asarray(anchors)
+
+    @jax.jit
+    def predict(params, canvas_u8, sizes) -> Detections:
+        images01 = resize_bilinear_planar(canvas_u8, sizes, image_size)
+        pred_loc, pred_logits = apply_fn(params, normalize01(images01))
         return detect_from_logits(
             pred_loc, pred_logits, anchors,
             variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,

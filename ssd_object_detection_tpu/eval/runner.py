@@ -52,12 +52,19 @@ def evaluate_batches(
             g_xyxy = np.asarray(
                 box_ops.cxcywh_to_xyxy(np.asarray(batch["gt_boxes"][b])[g_valid] * scale)
             )
+            # crowd GTs are matchable-but-ignored (COCOeval semantics); pipelines
+            # without the flag (synthetic) evaluate every GT as real
+            g_crowd = (
+                np.asarray(batch["gt_crowd"][b]).astype(bool)[g_valid]
+                if "gt_crowd" in batch else None
+            )
             evaluator.add_image(
                 det_boxes=d_xyxy,
                 det_scores=det_scores[b][keep],
                 det_classes=det_classes[b][keep],
                 gt_boxes=g_xyxy,
                 gt_classes=np.asarray(batch["gt_cls"][b])[g_valid],
+                gt_ignore=g_crowd,
             )
         n += 1
         if max_batches is not None and n >= max_batches:

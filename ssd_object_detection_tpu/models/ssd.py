@@ -95,6 +95,7 @@ class SSD(nn.Module):
     spec: ModelSpec = SSD300_SPEC_MODEL
     dtype: Any = jnp.float32
     remat: bool = False
+    s2d_stem: bool = False  # MXU-friendly conv1 (numerically identical; models/vgg.py)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
@@ -102,7 +103,7 @@ class SSD(nn.Module):
         trunk = VGG16Trunk
         if self.remat:
             trunk = nn.remat(VGG16Trunk)
-        x = trunk(dtype=self.dtype, name="vgg")(x)
+        x = trunk(dtype=self.dtype, s2d_stem=self.s2d_stem, name="vgg")(x)
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
 
         feature_maps = []

@@ -45,11 +45,27 @@ class Detections(NamedTuple):
 
 def _pairwise_iou_xyxy(bx: jnp.ndarray) -> jnp.ndarray:
     """IoU matrix (..., K, K) of xyxy boxes (..., K, 4)."""
-    area = jnp.maximum(bx[..., 2] - bx[..., 0], 0.0) * jnp.maximum(bx[..., 3] - bx[..., 1], 0.0)
-    lt = jnp.maximum(bx[..., :, None, :2], bx[..., None, :, :2])
-    rb = jnp.minimum(bx[..., :, None, 2:], bx[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    return _pairwise_iou_planes(bx[..., 0], bx[..., 1], bx[..., 2], bx[..., 3])
+
+
+def _pairwise_iou_planes(x1, y1, x2, y2) -> jnp.ndarray:
+    """IoU matrix (..., K, K) from xyxy coordinate planes (..., K) each.
+
+    Separate planes instead of a trailing size-4 axis: TPU tiles put the minor axis
+    on 128 lanes, so any op whose minor dim is 4 runs at ~3% lane utilization —
+    a (B,C,K,4) box gather alone measured 1.5 ms of a 21 ms batch-32 predict."""
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    ix = jnp.maximum(
+        jnp.minimum(x2[..., :, None], x2[..., None, :])
+        - jnp.maximum(x1[..., :, None], x1[..., None, :]),
+        0.0,
+    )
+    iy = jnp.maximum(
+        jnp.minimum(y2[..., :, None], y2[..., None, :])
+        - jnp.maximum(y1[..., :, None], y1[..., None, :]),
+        0.0,
+    )
+    inter = ix * iy
     return inter / (area[..., :, None] + area[..., None, :] - inter + 1e-10)
 
 
@@ -75,6 +91,70 @@ def _suppress_fixpoint(tri: jnp.ndarray, max_iters: int = 16) -> jnp.ndarray:
     init = (jnp.ones(batch_shape + (k,), bool), jnp.zeros(batch_shape + (k,), bool), jnp.int32(0))
     alive, _, _ = jax.lax.while_loop(cond, body, init)
     return alive
+
+
+def nms_on_pool(
+    pool_boxes: jnp.ndarray,  # (B, N, 4) cxcywh candidate boxes
+    pool_scores: jnp.ndarray,  # (B, N, C) per-class scores, sub-threshold already 0
+    iou_thresh: float = 0.45,
+    top_k_per_class: int = 100,
+    max_detections: int = 100,
+) -> Detections:
+    """Stages 2-4 of SSD decoding on a pooled candidate set: per-class top-K ->
+    greedy suppression (matmul fixpoint) -> cross-class merge. The single
+    implementation behind both `batched_nms` and eval/predict.detect_from_logits.
+
+    All box math runs on xyxy coordinate PLANES (B, C, K) — see
+    `_pairwise_iou_planes` for why the trailing size-4 axis is avoided."""
+    batch, n_pool, num_classes = pool_scores.shape
+
+    # Stage 2: per-class top-K within the pool (sorts N-wide rows, not D-wide).
+    # The xyxy coordinate planes and the pool index ride ALONG the sort as payload
+    # operands, so the per-class boxes need no gather at all. (Both a (B,C,K,4) row
+    # gather — rows of 4 waste 97% of the 128-lane tiles — and per-plane (B,C,K)
+    # take_along_axis — lowers to a 256k-scalar gather, measured 10 ms at batch 32 —
+    # are far slower than widening this sort from 2 to 6 operands.)
+    k = min(top_k_per_class, n_pool)
+    xyxy = box_ops.cxcywh_to_xyxy(pool_boxes)  # (B, N, 4)
+    neg_scores = -pool_scores.transpose(0, 2, 1)  # (B, C, N)
+    bcn = neg_scores.shape
+    ex = lambda p: jnp.broadcast_to(p[:, None, :], bcn)  # noqa: E731
+    pool_iota = jnp.broadcast_to(jnp.arange(n_pool, dtype=jnp.int32)[None, None], bcn)
+    sorted_ = jax.lax.sort(
+        (neg_scores, ex(xyxy[..., 0]), ex(xyxy[..., 1]), ex(xyxy[..., 2]),
+         ex(xyxy[..., 3]), pool_iota),
+        dimension=-1, num_keys=1, is_stable=True,  # stable == lax.top_k tie order
+    )
+    top_scores = -sorted_[0][..., :k]  # (B, C, K), descending
+    planes = [s[..., :k] for s in sorted_[1:5]]
+    top_pos = sorted_[5][..., :k]
+
+    # Stage 3: per-class greedy suppression via the matmul fixpoint.
+    iou = _pairwise_iou_planes(*planes)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
+    alive = _suppress_fixpoint(tri)
+    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
+
+    # Stage 4: merge classes with one global top-k.
+    merge_pool = num_classes * k
+    n_out = min(max_detections, merge_pool)
+    final_scores, final_pos = jax.lax.top_k(kept_scores.reshape(batch, merge_pool), n_out)
+    cand_pos = jnp.take_along_axis(top_pos.reshape(batch, merge_pool), final_pos, axis=1)
+    final_boxes = jnp.take_along_axis(pool_boxes, cand_pos[..., None], axis=1)
+    class_of = jnp.tile(
+        jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1)
+    )
+    final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
+
+    valid = final_scores > 0.0
+    return Detections(
+        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
+        scores=final_scores,
+        classes=jnp.where(valid, final_classes, -1),
+        valid=valid,
+    )
 
 
 @partial(
@@ -113,39 +193,11 @@ def batched_nms(
         pool_boxes = jnp.take_along_axis(boxes, pool_idx[..., None], axis=1)
         pool_scores = jnp.take_along_axis(s, pool_idx[..., None], axis=1)
     else:
-        pool_idx = jnp.tile(jnp.arange(num_boxes, dtype=jnp.int32)[None], (batch, 1))
         pool_boxes, pool_scores = boxes, s
 
-    # Stage 2: per-class top-K within the pool (sorts N-wide rows, not D-wide).
-    k = min(top_k_per_class, n_pool)
-    top_scores, top_pos = jax.lax.top_k(pool_scores.transpose(0, 2, 1), k)  # (B, C, K)
-    top_boxes = jnp.take_along_axis(pool_boxes[:, None], top_pos[..., None], axis=2)  # (B, C, K, 4)
-
-    # Stage 3: per-class greedy suppression via the matmul fixpoint.
-    iou = _pairwise_iou_xyxy(box_ops.cxcywh_to_xyxy(top_boxes))
-    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
-    alive = _suppress_fixpoint(tri)
-    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
-
-    # Stage 4: merge classes with one global top-k.
-    merge_pool = num_classes * k
-    n_out = min(max_detections, merge_pool)
-    flat_scores = kept_scores.reshape(batch, merge_pool)
-    final_scores, final_pos = jax.lax.top_k(flat_scores, n_out)
-    cand_pos = jnp.take_along_axis(top_pos.reshape(batch, merge_pool), final_pos, axis=1)
-    anchor_idx = jnp.take_along_axis(pool_idx, cand_pos, axis=1)
-    final_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
-    class_of = jnp.tile(
-        jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1)
-    )
-    final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
-
-    valid = final_scores > 0.0
-    return Detections(
-        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
-        scores=final_scores,
-        classes=jnp.where(valid, final_classes, -1),
-        valid=valid,
+    # Stages 2-4: shared pooled-candidate core.
+    return nms_on_pool(
+        pool_boxes, pool_scores,
+        iou_thresh=iou_thresh, top_k_per_class=top_k_per_class,
+        max_detections=max_detections,
     )

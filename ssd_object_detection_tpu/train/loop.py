@@ -87,7 +87,10 @@ class Trainer:
 
             enable_nan_debugging(True)
         dtype = jnp.bfloat16 if mc.precision == "bfloat16" else jnp.float32
-        self.model = SSD(num_classes=self.num_classes, spec=spec, dtype=dtype, remat=mc.remat)
+        self.model = SSD(
+            num_classes=self.num_classes, spec=spec, dtype=dtype, remat=mc.remat,
+            s2d_stem=mc.s2d_stem,
+        )
         self.anchors = generate_anchors(spec.anchor_spec)
 
         # optimizers: main (exp decay) + warmup (polynomial), as tools/train.py:31-53
@@ -229,9 +232,14 @@ class Trainer:
             ),
         )
 
-    def evaluate(self, params=None, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(
+        self,
+        params=None,
+        max_batches: Optional[int] = None,
+        step: int = 0,
+    ) -> Dict[str, float]:
         """COCO-style mAP over the validation split (new capability; SURVEY.md: the
-        reference has no evaluation)."""
+        reference has no evaluation). `step` tags the TB `val/*` scalars."""
         from ssd_object_detection_tpu.eval.predict import make_predict_fn
         from ssd_object_detection_tpu.eval.runner import evaluate_batches
 
@@ -247,9 +255,7 @@ class Trainer:
         if self._tb is not None:
             with self._tb.as_default():
                 for k, v in metrics.items():
-                    tf.summary.scalar(f"val/{k}", v, step=int(np.asarray(jax.device_get(
-                        getattr(self, "_last_state", None).step
-                    ))) if hasattr(self, "_last_state") else 0)
+                    tf.summary.scalar(f"val/{k}", v, step=step)
         return metrics
 
     # ------------------------------------------------------------- checkpoint
@@ -379,21 +385,42 @@ class Trainer:
                 host_side.append(b)
                 yield {k: b[k] for k in ("image", "gt_cls", "gt_boxes", "gt_valid")}
 
-        # device_prefetch overlaps H2D transfer of batch N+1 with compute of batch N
-        for jbatch in device_prefetch(tee(batches), self.mesh):
-            batch = host_side.pop(0)
-            state, metrics = step_fn(state, jbatch)
-            # keep the freshest live state for the crash-save path: with
-            # donate_state=True the PREVIOUS state's buffers are gone
-            self._last_state = state
-            step += 1
-            if step % log_every == 0:
-                lr = float(schedule(step))
-                self._log_scalars(stage, jax.device_get(metrics), lr, step)
-            if mc.log_interval and step % mc.log_interval == 0:
-                self._log_images(stage, batch, state, step)
-            if max_steps is not None and step >= max_steps:
-                break
+        # tqdm epoch bar with live loss postfix (reference models/ssd_model.py:298-322);
+        # the postfix refreshes only at log_every so the bar never forces extra
+        # device->host syncs
+        bar = None
+        if mc.progress_bar:
+            try:
+                from tqdm import tqdm
+
+                bar = tqdm(desc=stage, total=max_steps, initial=step, unit="step")
+            except ImportError:  # pragma: no cover
+                bar = None
+
+        try:
+            # device_prefetch overlaps H2D transfer of batch N+1 with compute of batch N
+            for jbatch in device_prefetch(tee(batches), self.mesh):
+                batch = host_side.pop(0)
+                state, metrics = step_fn(state, jbatch)
+                # keep the freshest live state for the crash-save path: with
+                # donate_state=True the PREVIOUS state's buffers are gone
+                self._last_state = state
+                step += 1
+                if step % log_every == 0:
+                    lr = float(schedule(step))
+                    fetched = jax.device_get(metrics)
+                    self._log_scalars(stage, fetched, lr, step)
+                    if bar is not None:
+                        bar.set_postfix(loss=f"{float(fetched['loss']):.4f}", refresh=False)
+                if bar is not None:
+                    bar.update(1)
+                if mc.log_interval and step % mc.log_interval == 0:
+                    self._log_images(stage, batch, state, step)
+                if max_steps is not None and step >= max_steps:
+                    break
+        finally:
+            if bar is not None:
+                bar.close()
         return state
 
     def train(self) -> TrainState:
@@ -442,6 +469,11 @@ class Trainer:
                     self.train_batches(epochs=1),
                 )
                 self.save_checkpoint(state, epoch + 1, "train")
+                if mc.eval_every and (epoch + 1) % mc.eval_every == 0:
+                    # in-training validation (the reference loads a val set but never
+                    # consumes it, models/ssd_model.py:291): TB `val/*` scalars
+                    metrics = self.evaluate(params=state.params, step=int(state.step))
+                    logger.info("epoch %d val: %s", epoch + 1, metrics)
         except Exception:
             # reference saves error_exit_save.h5 then re-raises (:336-339); prefer the
             # freshest live state (donation deletes superseded buffers)

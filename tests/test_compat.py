@@ -58,3 +58,29 @@ def test_model_train_through_facade(tmp_path):
     )
     state = m.train(data_loader=None, cfg=cfg)  # synthetic data (no dataset_root)
     assert int(state.step) >= 1
+
+
+def test_show_summary_and_log_writer(tmp_path, capsys):
+    m = SSDObjectDetectionModel(classes=8, log_dir=str(tmp_path), variant="tiny-test",
+                                precision="float32")
+    table = m.show_summary()
+    assert "TOTAL" in table and "kernel" in table
+    assert table in capsys.readouterr().out
+    w = m.get_log_writer()
+    assert w is m.get_log_writer()  # cached
+
+
+def test_visualize_dataset(tmp_path):
+    m = SSDObjectDetectionModel(classes=8, log_dir=str(tmp_path), variant="tiny-test",
+                                precision="float32")
+    batch = {
+        "image": np.full((2, 64, 64, 3), 0.5, np.float32),
+        "gt_cls": np.array([[1, 2], [3, 0]], np.int32),
+        "gt_boxes": np.array(
+            [[[0.5, 0.5, 0.3, 0.3], [0.2, 0.2, 0.1, 0.1]],
+             [[0.7, 0.7, 0.2, 0.2], [0.0, 0.0, 0.0, 0.0]]], np.float32),
+        "gt_valid": np.array([[True, True], [True, False]]),
+    }
+    imgs = m.visualize_dataset([batch, batch], max_images=3)
+    assert len(imgs) == 3
+    assert imgs[0].shape == (64, 64, 3)

@@ -145,3 +145,46 @@ def test_flip_augmentation(mini_coco):
     v = s0["gt_valid"]
     np.testing.assert_allclose(flipped["gt_boxes"][v][:, 0], 1 - s0["gt_boxes"][v][:, 0], rtol=1e-5)
     np.testing.assert_allclose(flipped["gt_boxes"][v][:, 1:], s0["gt_boxes"][v][:, 1:], rtol=1e-5)
+
+
+def test_pipeline_backpressure(monkeypatch):
+    """A slow consumer must bound in-flight decode work (VERDICT round-1 item 4):
+    5k records, consume a few batches, assert the producer never ran far ahead."""
+    import time as _time
+    from types import SimpleNamespace
+
+    from ssd_object_detection_tpu.data import pipeline as pl
+
+    produced = [0]
+
+    def fake_transform(index, rec, cfg):
+        produced[0] += 1
+        return {
+            "image": np.zeros((4, 4, 3), np.float32),
+            "gt_cls": np.zeros((cfg.max_gt,), np.int32),
+            "gt_boxes": np.zeros((cfg.max_gt, 4), np.float32),
+            "gt_valid": np.zeros((cfg.max_gt,), bool),
+            "image_id": np.int64(rec),
+            "orig_size": np.array([4, 4], np.int32),
+        }
+
+    monkeypatch.setattr(pl, "load_and_transform", fake_transform)
+    index = SimpleNamespace(records=list(range(5000)))
+    cfg = pl.PipelineConfig(batch_size=8, shuffle=False, num_workers=4, prefetch=2,
+                            max_gt=4)
+    pipe = pl.CocoPipeline.__new__(pl.CocoPipeline)
+    pipe.index = index
+    pipe.cfg = cfg
+    pipe._rng = np.random.default_rng(0)
+    pipe._epoch = 0
+
+    overrun = []
+    for i, batch in enumerate(pipe._batches_sync()):
+        assert batch["image"].shape[0] == 8
+        _time.sleep(0.005)  # slow consumer
+        overrun.append(produced[0] - (i + 1) * 8)
+        if i >= 9:
+            break
+    # bound = in-flight window (16) + one assembling batch + scheduling slack;
+    # without backpressure this would race toward 5000
+    assert max(overrun) <= 16 + 8 + 8, max(overrun)

@@ -104,3 +104,40 @@ def test_remat_gradients_match():
     g1, g2 = loss(plain), loss(rem)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_matches_plain_stem(ssd300_small_batch):
+    """The space-to-depth block1 (models/vgg.py) is an algebraic rewrite: identical
+    params, identical outputs (float32 tolerance only from conv reassociation)."""
+    _, params = ssd300_small_batch
+    m_s2d = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, s2d_stem=True)
+    x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, 300, 300, 3)), jnp.float32)
+    model_plain = SSD(num_classes=81, spec=SSD300_SPEC_MODEL)
+    loc_p, conf_p = model_plain.apply(params, x)
+    loc_s, conf_s = m_s2d.apply(params, x)
+    np.testing.assert_allclose(np.asarray(loc_s), np.asarray(loc_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(conf_s), np.asarray(conf_p), atol=2e-5)
+
+
+def test_s2d_stem_param_tree_identical(ssd300_small_batch):
+    _, params = ssd300_small_batch
+    m_s2d = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, s2d_stem=True)
+    p2 = m_s2d.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    shapes = lambda t: jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), t)
+    assert shapes(params) == shapes(p2)
+
+
+def test_s2d_stem_gradients_flow(ssd300_small_batch):
+    """The kernel fold is linear; gradients must reach block1 params through it."""
+    _, params = ssd300_small_batch
+    m_s2d = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, s2d_stem=True)
+    x = jnp.ones((1, 300, 300, 3), jnp.float32)
+
+    def loss(p):
+        loc, conf = m_s2d.apply(p, x)
+        return jnp.sum(loc**2) + jnp.sum(conf**2)
+
+    g = jax.grad(loss)(params)["params"]["vgg"]
+    for layer in ("block1_conv1", "block1_conv2"):
+        assert float(jnp.max(jnp.abs(g[layer]["kernel"]))) > 0.0
+        assert g[layer]["kernel"].shape == params["params"]["vgg"][layer]["kernel"].shape
