@@ -40,13 +40,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_tile(h: int, pool: bool) -> int:
-    """Largest row tile <= 32 that divides H (and is even when pooling)."""
+def _pick_row_tile(h: int, w: int, ic: int, oc: int, pool: bool) -> int:
+    """Largest row tile <= 32 that divides H (even when pooling) AND whose working
+    set fits scoped VMEM (16 MB/core): the dominant live buffers per tile are the
+    f32 GEMM accumulator R*W*3*OC*4, the f32 output R*W*OC*4, the bf16 input halo
+    stack and double-buffered in/out blocks — ~R*W*(20*OC + 10*IC) bytes total."""
+    budget = 10 * 1024 * 1024
     step = 2 if pool else 1
     for r in range(32, step - 1, -step):
-        if h % r == 0 and (not pool or r % 2 == 0):
+        if h % r or (pool and r % 2):
+            continue
+        if r * w * (20 * oc + 10 * ic) <= budget:
             return r
-    return h  # pragma: no cover - any H divides itself
+    return step  # pragma: no cover - minimal tile
 
 
 def _kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, o_ref, *, relu: bool, pool: bool):
@@ -86,13 +92,14 @@ def _kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, o_ref, *, relu: bool, pool: b
         o = jnp.maximum(o, 0.0)
 
     if pool:
-        # 2x2/s2 max entirely in VMEM with layout-preserving reshapes:
-        # rows first, then column pairs as a (., 2*OC) minor split
-        o = o.reshape(r // 2, 2, w_dim * oc)
-        o = jnp.maximum(o[:, 0], o[:, 1])  # (R/2, W*OC)
-        o = o.reshape((r // 2) * (w_dim // 2), 2 * oc)
-        o = jnp.maximum(o[:, :oc], o[:, oc:])
-        o_ref[0] = o.reshape(r // 2, w_dim // 2, oc).astype(o_ref.dtype)
+        # 2x2/s2 max entirely in VMEM. Mosaic shape casts must keep the minor (lane)
+        # dim fixed, so pairs are split out as middle dims and reduced by static
+        # indexing (a merged (W*OC) minor fails infer-vector-layout).
+        q = o.reshape(r // 2, 2, w_dim, oc)
+        a = jnp.maximum(q[:, 0], q[:, 1])  # (R/2, W, OC)
+        c = a.reshape(r // 2, w_dim // 2, 2, oc)
+        p = jnp.maximum(c[:, :, 0], c[:, :, 1])  # (R/2, W/2, OC)
+        o_ref[0] = p.astype(o_ref.dtype)
     else:
         o_ref[0] = o.astype(o_ref.dtype)
 
@@ -110,7 +117,7 @@ def _conv3x3_pallas(
         interpret = jax.default_backend() == "cpu"
     b, h, w, ic = x.shape
     oc = kernel.shape[-1]
-    r = row_tile or _pick_row_tile(h, pool)
+    r = row_tile or _pick_row_tile(h, w, ic, oc, pool)
     assert h % r == 0, (h, r)
     if pool:
         assert r % 2 == 0 and w % 2 == 0, (r, w)

@@ -6,6 +6,13 @@ distributed runtime, (b) load a DISJOINT shard of the dataset, and (c) assemble
 global arrays from per-host shards. These helpers cover that; they are exercised in
 single-process mode by tests (multi-host hardware is not available in this
 environment — the code paths degrade to no-ops at process_count()==1).
+
+CAVEAT — UNVALIDATED AT SCALE: `host_shard_range` and `make_global_batch` have NEVER
+executed at process_count() > 1 (no multi-host hardware here). The logic follows the
+standard jax multi-process recipe (disjoint per-host data shards +
+make_array_from_process_local_data), but treat a first pod run as a validation run:
+check that per-host shard ranges are disjoint/covering and that the global batch
+round-trips before trusting training results.
 """
 
 from __future__ import annotations

@@ -3,7 +3,9 @@
 import itertools
 import math
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssd_object_detection_tpu.ops.anchors import (
     SSD300_SPEC,
@@ -67,3 +69,40 @@ def test_first_cell_order():
     np.testing.assert_allclose(a[3], [cx, cy, s_k / rt, s_k * rt], atol=1e-7)
     # second cell advances x first (y-major iteration)
     np.testing.assert_allclose(a[4][:2], [1.5 / 38, 0.5 / 38], atol=1e-7)
+
+
+def test_ssd512_spec_sanity_vs_paper():
+    """SSD512 here is a VARIANT, not a port (the reference has no 512 model —
+    SURVEY.md section 2); sanity-check it against the SSD paper's structural rules:
+    monotone scales spanning ~0.07-0.9 of the image, s_k' = sqrt(s_k * s_{k+1})
+    interpolation well-defined (one extra scale ref), anchors inside (0, 1.06]."""
+    s = np.asarray(SSD512_SPEC.scale_refs, np.float32) / SSD512_SPEC.image_size
+    assert np.all(np.diff(s) > 0)
+    assert 0.04 <= s[0] <= 0.12 and 0.85 <= s[-2] <= 1.1
+    assert len(SSD512_SPEC.scale_refs) == len(SSD512_SPEC.feature_sizes) + 1
+    anchors = generate_anchors(SSD512_SPEC)
+    # sqrt(2)-stretched top-level anchors legitimately exceed 1 (paper keeps them)
+    assert np.all(anchors > 0) and np.all(anchors[:, 2:] <= 1.35)
+
+
+@pytest.mark.parametrize("spec", [SSD300_SPEC, SSD512_SPEC], ids=["ssd300", "ssd512"])
+def test_anchor_coverage_of_random_boxes(spec):
+    """Detection-coverage sanity: any reasonably-shaped box (scale 0.1-0.65, aspect
+    0.5-2) must overlap some anchor with IoU >= 0.45 — the matcher's phase-2
+    threshold is 0.5 and phase 1 guarantees each GT its argmax anchor regardless."""
+    from ssd_object_detection_tpu.ops.boxes import pairwise_iou
+
+    anchors = generate_anchors(spec)
+    rng = np.random.default_rng(0)
+    n = 200
+    scale = rng.uniform(0.1, 0.65, n)
+    ar = rng.uniform(0.5, 2.0, n)
+    w = scale * np.sqrt(ar)
+    h = scale / np.sqrt(ar)
+    cx = rng.uniform(w / 2, 1 - w / 2)
+    cy = rng.uniform(h / 2, 1 - h / 2)
+    boxes = np.stack([cx, cy, w, h], axis=1).astype(np.float32)
+    iou = np.asarray(pairwise_iou(jnp.asarray(boxes), jnp.asarray(anchors)))
+    best = iou.max(axis=1)
+    assert best.min() >= 0.5, float(best.min())  # measured: 0.54 / 0.56
+    assert best.mean() >= 0.65, float(best.mean())

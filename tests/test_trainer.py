@@ -165,3 +165,41 @@ def test_warmup_empty_dataset_raises(tmp_path):
         trainer.train()
     # and the crash-save path wrote the params export
     assert os.path.exists(tmp_path / "run" / "error_exit_save.msgpack")
+
+
+def test_trainer_full_mesh_resume_and_eval_hook(tmp_path):
+    """VERDICT round-1 item 8: Trainer on the full 8-device mesh (explicit
+    data_parallel=8), checkpoint save/restore of SHARDED state across a resume, and
+    the eval_every in-training validation hook."""
+    import jax
+
+    cfg = _tiny_config(
+        tmp_path,
+        **{
+            "data.mini_batch.num_data": 16,
+            "model.train.batch_size": 8,
+            "parallel.data_parallel": 8,
+            "model.eval_every": 1,
+        },
+    )
+    run = str(tmp_path / "run")
+    trainer = Trainer(cfg, run_dir=run)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    state = trainer.train()  # warmup 2 + one epoch (16/8 = 2 steps)
+    assert int(state.step) == 2
+    # params actually live on the mesh
+    shardings = {str(jax.tree.leaves(state.params)[0].sharding)}
+    assert any("Mesh" in s or "NamedSharding" in s for s in shardings), shardings
+
+    cfg2 = _tiny_config(
+        tmp_path,
+        **{
+            "data.mini_batch.num_data": 16,
+            "model.train.batch_size": 8,
+            "parallel.data_parallel": 8,
+            "model.train.epoch": 2,
+        },
+    )
+    cfg2.model.checkpoint.resume = True
+    state2 = Trainer(cfg2, run_dir=run).train()
+    assert int(state2.step) == 4  # restored at step 2, one more epoch under the mesh
