@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ssd_object_detection_tpu.ops import boxes as box_ops
-from ssd_object_detection_tpu.ops.nms import Detections, nms_on_pool
+from ssd_object_detection_tpu.ops.nms import Detections, nms_on_pool, nms_on_pool_merged
 
 
 def detect_from_logits(
@@ -35,6 +35,7 @@ def detect_from_logits(
     pre_nms_top_k: int = 400,
     top_k_per_class: int = 100,
     max_detections: int = 100,
+    nms_mode: str = "merged",  # "merged" (fast, torchvision-style) | "per_class"
 ) -> Detections:
     """Fused decode: logits -> Detections, heavy work restricted to the candidate pool."""
     batch, num_anchors, num_ch = pred_logits.shape
@@ -54,6 +55,11 @@ def detect_from_logits(
     pool_boxes = box_ops.decode_boxes(pool_loc, pool_anchors, variances=variances)
 
     # Stages 2-4: shared pooled-candidate core (ops/nms.py).
+    if nms_mode == "merged":
+        return nms_on_pool_merged(
+            pool_boxes, pool_probs,
+            iou_thresh=iou_thresh, max_detections=max_detections,
+        )
     return nms_on_pool(
         pool_boxes, pool_probs,
         iou_thresh=iou_thresh, top_k_per_class=top_k_per_class,
@@ -70,6 +76,7 @@ def make_predict_fn(
     pre_nms_top_k: int = 400,
     top_k_per_class: int = 100,
     max_detections: int = 100,
+    nms_mode: str = "merged",
 ) -> Callable:
     """Returns predict(params, images01) -> Detections (boxes relative cxcywh).
 
@@ -87,7 +94,7 @@ def make_predict_fn(
             pred_loc, pred_logits, anchors,
             variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
             pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
-            max_detections=max_detections,
+            max_detections=max_detections, nms_mode=nms_mode,
         )
 
     return predict
@@ -103,6 +110,7 @@ def make_fused_predict_fn(
     pre_nms_top_k: int = 400,
     top_k_per_class: int = 100,
     max_detections: int = 100,
+    nms_mode: str = "merged",
 ) -> Callable:
     """Fully fused inference (BASELINE.json config #2): the host does only JPEG
     decode; resize, normalization, forward, softmax, decode, and NMS are ONE jit.
@@ -125,7 +133,7 @@ def make_fused_predict_fn(
             pred_loc, pred_logits, anchors,
             variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
             pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
-            max_detections=max_detections,
+            max_detections=max_detections, nms_mode=nms_mode,
         )
 
     return predict

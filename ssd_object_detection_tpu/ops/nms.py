@@ -69,6 +69,36 @@ def _pairwise_iou_planes(x1, y1, x2, y2) -> jnp.ndarray:
     return inter / (area[..., :, None] + area[..., None, :] - inter + 1e-10)
 
 
+def _suppression_matrix(x1, y1, x2, y2, iou_thresh: float) -> jnp.ndarray:
+    """Score-ordered suppression matrix tri (..., K, K) bfloat16 directly from
+    coordinate planes: tri[i, j] = 1 where i < j and IoU(i, j) > thresh.
+
+    IoU(i,j) > t is evaluated as inter > t * union — no division and no (...,K,K)
+    f32 IoU tensor ever materializes (the division variant cost ~2 extra 100 MB
+    HBM passes at batch 32); XLA fuses this whole expression into one pass whose
+    only output is the bf16 tri. Equivalent to `_pairwise_iou_planes(...) > t` up
+    to the 1e-10 denominator guard (degenerate boxes: 0 > t*0 is False either way).
+    """
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    ix = jnp.maximum(
+        jnp.minimum(x2[..., :, None], x2[..., None, :])
+        - jnp.maximum(x1[..., :, None], x1[..., None, :]),
+        0.0,
+    )
+    iy = jnp.maximum(
+        jnp.minimum(y2[..., :, None], y2[..., None, :])
+        - jnp.maximum(y1[..., :, None], y1[..., None, :]),
+        0.0,
+    )
+    inter = ix * iy
+    union = area[..., :, None] + area[..., None, :] - inter
+    k = x1.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    upper = (row < col)[(None,) * (x1.ndim - 1)]
+    return ((inter > iou_thresh * union) & upper).astype(jnp.bfloat16)
+
+
 def _suppress_fixpoint(tri: jnp.ndarray, max_iters: int = 16) -> jnp.ndarray:
     """Keep-mask (..., K) from a score-ordered suppression matrix tri (..., K, K),
     tri[i, j] = 1.0 where candidate i (higher-scored) would suppress j."""
@@ -130,10 +160,7 @@ def nms_on_pool(
     top_pos = sorted_[5][..., :k]
 
     # Stage 3: per-class greedy suppression via the matmul fixpoint.
-    iou = _pairwise_iou_planes(*planes)
-    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = ((iou > iou_thresh) & (row < col)[None, None]).astype(jnp.bfloat16)
+    tri = _suppression_matrix(*planes, iou_thresh)
     alive = _suppress_fixpoint(tri)
     kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
 
@@ -147,6 +174,66 @@ def nms_on_pool(
         jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), k)[None], (batch, 1)
     )
     final_classes = jnp.take_along_axis(class_of, final_pos, axis=1)
+
+    valid = final_scores > 0.0
+    return Detections(
+        boxes=jnp.where(valid[..., None], final_boxes, 0.0),
+        scores=final_scores,
+        classes=jnp.where(valid, final_classes, -1),
+        valid=valid,
+    )
+
+
+def nms_on_pool_merged(
+    pool_boxes: jnp.ndarray,  # (B, N, 4) cxcywh candidate boxes
+    pool_scores: jnp.ndarray,  # (B, N, C) per-class scores, sub-threshold already 0
+    iou_thresh: float = 0.45,
+    merged_top_k: int = 256,
+    max_detections: int = 100,
+) -> Detections:
+    """Merged-candidate class-aware NMS (the torchvision/detectron decode shape):
+    ONE global top-M over all (anchor, class) pairs, then a single class-masked
+    suppression fixpoint, then top-max_detections of the survivors.
+
+    vs `nms_on_pool` (protocol-exact per-class top-K): examining only the global
+    top-M candidates shrinks the suppression matrix from (B, C, K, K) — 68 MB at
+    batch 32, the dominant NMS cost — to (B, M, M) = 4 MB, and drops the per-class
+    payload sort entirely. Detections can differ only when a class's candidates all
+    rank below the global top-M yet would have survived into the final top-100 —
+    pathological at M >= 2.5x max_detections. This is the default inference decode;
+    `batched_nms` keeps the per-class-exact semantics.
+    """
+    batch, n_pool, num_classes = pool_scores.shape
+    m = min(merged_top_k, n_pool * num_classes)
+
+    # one global top-M over (anchor, class) pairs; flat index = anchor * C + class
+    flat = pool_scores.reshape(batch, n_pool * num_classes)
+    top_scores, flat_idx = jax.lax.top_k(flat, m)  # (B, M)
+    cand_pool = flat_idx // num_classes
+    cand_class = flat_idx % num_classes
+
+    # candidate geometry via one-hot matmul (MXU) — exact for f32 (0/1 weights);
+    # avoids the scalar-gather lowering of take_along_axis at (B, M) shapes
+    onehot = (
+        cand_pool[..., None] == jnp.arange(n_pool, dtype=jnp.int32)[None, None]
+    ).astype(jnp.float32)  # (B, M, N)
+    xyxy = box_ops.cxcywh_to_xyxy(pool_boxes)  # (B, N, 4)
+    geom = jnp.einsum(
+        "bmn,bnf->bmf", onehot, xyxy, preferred_element_type=jnp.float32
+    )  # (B, M, 4)
+    planes = [geom[..., i] for i in range(4)]
+
+    # class-masked suppression: a candidate only suppresses same-class candidates
+    tri = _suppression_matrix(*planes, iou_thresh)
+    same = cand_class[..., :, None] == cand_class[..., None, :]
+    alive = _suppress_fixpoint(tri * same.astype(tri.dtype))
+    kept_scores = jnp.where(alive & (top_scores > 0.0), top_scores, 0.0)
+
+    n_out = min(max_detections, m)
+    final_scores, pos = jax.lax.top_k(kept_scores, n_out)  # (B, n_out)
+    final_pool = jnp.take_along_axis(cand_pool, pos, axis=1)
+    final_boxes = jnp.take_along_axis(pool_boxes, final_pool[..., None], axis=1)
+    final_classes = jnp.take_along_axis(cand_class, pos, axis=1)
 
     valid = final_scores > 0.0
     return Detections(

@@ -1,0 +1,165 @@
+"""mAP evidence run (VERDICT round-1 item 3): train SSD300 on the hermetic synthetic
+dataset to convergence ON DEVICE, evaluate COCO-style mAP on a held-out split, and
+write EVAL_SYNTHETIC.json with the gate `mAP@0.5 > 0.9`.
+
+The whole dataset lives device-resident (uint8, one H2D transfer) and batches are
+selected on device per step — on the axon-tunneled v5e a per-step host->device feed
+would dominate wall time (~1 s per 17 MB batch; memory/BASELINE.md).
+
+Usage: python tools/eval_synthetic.py [--steps 1500] [--out EVAL_SYNTHETIC.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-train", type=int, default=256)
+    p.add_argument("--num-val", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
+    p.add_argument("--gate", type=float, default=0.9)
+    args = p.parse_args()
+
+    from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
+    from ssd_object_detection_tpu.eval.coco_map import DetectionEvaluator
+    from ssd_object_detection_tpu.eval.predict import make_predict_fn
+    from ssd_object_detection_tpu.models.ssd import SSD, SSD300_SPEC_MODEL
+    from ssd_object_detection_tpu.ops import boxes as box_ops
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+    from ssd_object_detection_tpu.train.optim import (
+        exponential_decay,
+        make_optimizer,
+        polynomial_decay,
+    )
+    from ssd_object_detection_tpu.train.step import (
+        StepConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    num_classes = 8
+    max_gt = 8
+    train_ds = SyntheticDetectionDataset(
+        num_images=args.num_train, image_size=300, max_gt=max_gt,
+        num_classes=num_classes, seed=0,
+    )
+    val_ds = SyntheticDetectionDataset(
+        num_images=args.num_val, image_size=300, max_gt=max_gt,
+        num_classes=num_classes, seed=999,
+    )
+
+    def materialize(ds):
+        samples = [ds.sample(i) for i in range(ds.num_images)]
+        return {
+            "image_u8": jnp.asarray(
+                np.stack([np.round(s[0] * 255).astype(np.uint8) for s in samples])
+            ),
+            "gt_cls": jnp.asarray(np.stack([s[1] for s in samples])),
+            "gt_boxes": jnp.asarray(np.stack([s[2] for s in samples])),
+            "gt_valid": jnp.asarray(np.stack([s[3] for s in samples])),
+        }
+
+    print("materializing datasets on device ...", flush=True)
+    train = materialize(train_ds)
+    val = materialize(val_ds)
+
+    model = SSD(num_classes=num_classes + 1, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    anchors = generate_anchors(SSD300_SPEC_MODEL.anchor_spec)
+
+    bs = args.batch_size
+    n_batches = args.num_train // bs
+
+    def slice_batch(data, step):
+        i = (step % n_batches) * bs
+        return {
+            "image": jax.lax.dynamic_slice_in_dim(data["image_u8"], i, bs).astype(
+                jnp.float32
+            ) / 255.0,
+            "gt_cls": jax.lax.dynamic_slice_in_dim(data["gt_cls"], i, bs),
+            "gt_boxes": jax.lax.dynamic_slice_in_dim(data["gt_boxes"], i, bs),
+            "gt_valid": jax.lax.dynamic_slice_in_dim(data["gt_valid"], i, bs),
+        }
+
+    t0 = time.time()
+    # warmup phase with its own optimizer (reference two-optimizer warmup semantics)
+    wu_tx = make_optimizer("adam", polynomial_decay(1e-6, args.warmup, args.lr))
+    wu_step_fn = make_train_step(model.apply, anchors, wu_tx, StepConfig())
+
+    @jax.jit
+    def wu_step(state, i):
+        return wu_step_fn(state, slice_batch(train, i))
+
+    state = create_train_state(params, wu_tx)
+    for i in range(args.warmup):
+        state, metrics = wu_step(state, jnp.int32(i))
+    print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
+
+    tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
+    step_fn = make_train_step(model.apply, anchors, tx, StepConfig())
+
+    @jax.jit
+    def step(state, i):
+        return step_fn(state, slice_batch(train, i))
+
+    state = create_train_state(state.params, tx)
+    for i in range(args.steps):
+        state, metrics = step(state, jnp.int32(i))
+        if (i + 1) % 200 == 0:
+            print(f"step {i+1}/{args.steps}: loss {float(metrics['loss']):.3f}", flush=True)
+    train_secs = time.time() - t0
+
+    # evaluate the held-out split with the production predict path + full evaluator
+    predict = make_predict_fn(model.apply, anchors, score_thresh=0.05)
+    evaluator = DetectionEvaluator(num_classes=num_classes)
+    for b0 in range(0, args.num_val, bs):
+        n = min(bs, args.num_val - b0)
+        imgs = val["image_u8"][b0 : b0 + n].astype(jnp.float32) / 255.0
+        det = predict(state.params, imgs)
+        scale = np.array([300.0, 300.0, 300.0, 300.0], np.float32)
+        for b in range(n):
+            keep = np.asarray(det.valid[b])
+            d_xyxy = np.asarray(box_ops.cxcywh_to_xyxy(det.boxes[b][keep] * scale))
+            gv = np.asarray(val["gt_valid"][b0 + b])
+            g_xyxy = np.asarray(
+                box_ops.cxcywh_to_xyxy(np.asarray(val["gt_boxes"][b0 + b])[gv] * scale)
+            )
+            evaluator.add_image(
+                det_boxes=d_xyxy, det_scores=np.asarray(det.scores[b])[keep],
+                det_classes=np.asarray(det.classes[b])[keep],
+                gt_boxes=g_xyxy, gt_classes=np.asarray(val["gt_cls"][b0 + b])[gv],
+            )
+    metrics = evaluator.summarize()
+
+    result = {
+        "dataset": "synthetic (hermetic; data/synthetic.py)",
+        "model": "ssd300 bf16",
+        "train": {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
+                  "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)},
+        "val_images": args.num_val,
+        "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
+        "gate": f"mAP@0.5 > {args.gate}",
+        "pass": bool(metrics["mAP@0.5"] > args.gate),
+        "device": str(jax.devices()[0]),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

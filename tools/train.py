@@ -36,7 +36,9 @@ def main():
     if args.eval_after:
         import json
 
-        metrics = trainer.evaluate(state.params, max_batches=args.eval_max_batches)
+        metrics = trainer.evaluate(
+            state.params, max_batches=args.eval_max_batches, step=int(state.step)
+        )
         print(json.dumps(metrics))
 
 
