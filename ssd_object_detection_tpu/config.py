@@ -129,10 +129,10 @@ class ModelConfig:  # config/default.yml:13-42
     log_dir: str = "./workshop/run"
     log_interval: int = 10
     # TB scalar cadence. The reference logs every step (models/ssd_model.py:281-285),
-    # but each log is a device->host fetch; at interval 1 that fetch (~28 ms through
-    # a tunneled link) can cost ~50% of a 54 ms train step. 10 keeps the fetch tax
-    # under 5% while still charting smoothly.
-    log_scalar_interval: int = 10
+    # but each log is a device->host fetch. Measured on the v5e (53 ms step,
+    # tunneled link): interval 1 = +58% step time, 10 = +5.3%, 20 = +2.0%
+    # (BASELINE.md round 2). 20 keeps the tax ~2% while still charting smoothly.
+    log_scalar_interval: int = 20
     save: str = "model_last"
     train: TrainSection = dataclasses.field(default_factory=TrainSection)
     warmup: WarmupSection = dataclasses.field(default_factory=WarmupSection)

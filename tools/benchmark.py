@@ -72,6 +72,20 @@ def main():
         dt = timed_loop(lambda x: predict(params, x), args.iters, images)
         results[name] = {"ms_per_batch": round(dt * 1000, 3), "images_per_sec": round(batch_size / dt, 1)}
 
+    # BASELINE config #2 as written: uint8 in, on-device resize+normalize+forward+NMS
+    from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
+    from ssd_object_detection_tpu.ops.preprocess import pack_canvas
+
+    canvas, sizes = pack_canvas(
+        [rng.integers(0, 256, (480, 640, 3), np.uint8) for _ in range(32)]
+    )
+    canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+    fused = make_fused_predict_fn(model.apply, anchors, image_size=size)
+    dt = timed_loop(lambda c, s: fused(params, c, s), args.iters, canvas, sizes)
+    results["infer_fused_e2e_b32"] = {
+        "ms_per_batch": round(dt * 1000, 3), "images_per_sec": round(32 / dt, 1),
+    }
+
     if not args.skip_train:
         for name, accum in (("train_step_b32", 1), ("train_accum_8x", 8)):
             tx = make_optimizer("adam", 1e-3)
