@@ -136,6 +136,10 @@ def build_targets(
     Mirroring the reference (models/ssd_model.py:213), the encoder runs over ALL
     anchors including unmatched ones (whose target box is 0); the loss masks them.
     """
+    if use_pallas and not pallas_matcher_fits(gt_cls.shape[1], anchors.shape[0]):
+        # e.g. SSD512 (24,564 anchors) at max_gt=100: the kernel's live (G, D) f32
+        # working set (~30 MB) exceeds the 16 MB VMEM budget -> XLA matcher instead
+        use_pallas = False
     if use_pallas:
         from ssd_object_detection_tpu.ops.pallas_matcher import match_anchors_pallas
 
@@ -151,3 +155,15 @@ def build_targets(
 def default_use_pallas() -> bool:
     """True when the default backend is a TPU (Mosaic kernels don't lower on CPU)."""
     return jax.default_backend() not in ("cpu", "gpu")
+
+
+def pallas_matcher_fits(max_gt: int, num_anchors: int, budget_bytes: int = 11 << 20) -> bool:
+    """Whether the VMEM-resident matcher kernel fits scoped VMEM (16 MB/core).
+
+    The kernel column-chunks every full-matrix pass (ops/pallas_matcher.py), so the
+    only full-width buffer is the (G, D_pad) f32 IoU scratch; transients add ~3 MB.
+    SSD300 (8,832 padded anchors, G=100) -> 3.5 MB scratch; SSD512 (24,576) ->
+    9.8 MB scratch, both fit. The guard protects hypothetical larger variants
+    (e.g. >28k anchors at G=100) by falling back to the XLA matcher."""
+    d_pad = -(-num_anchors // 4096) * 4096
+    return max_gt * d_pad * 4 <= budget_bytes

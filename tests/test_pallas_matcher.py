@@ -1,5 +1,7 @@
 """Pallas matcher kernel (interpret mode on CPU) vs the XLA matcher."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -66,3 +68,32 @@ def test_pallas_nonaligned_anchor_count():
     for b in range(2):
         want = match_anchors(gt_cls[b], gt_boxes[b], gt_valid[b], anchors)
         np.testing.assert_array_equal(np.asarray(got.gt_index[b]), np.asarray(want.gt_index))
+
+
+def test_chunked_kernel_matches_xla_at_ssd512_scale():
+    """Anchor counts that trigger the kernel's column-chunked passes (>12 MB for
+    three full (G, D) planes) must still produce identical assignments."""
+    rng = np.random.default_rng(7)
+    num_anchors = 12700  # d_pad 12800 -> 3*100*12800*4 = 15.4 MB -> chunked
+    max_gt = 100
+    anchors = np.concatenate(
+        [rng.uniform(0.05, 0.95, (num_anchors, 2)), rng.uniform(0.03, 0.4, (num_anchors, 2))],
+        -1,
+    ).astype(np.float32)
+    B = 2
+    gt_boxes = np.concatenate(
+        [rng.uniform(0.2, 0.8, (B, max_gt, 2)), rng.uniform(0.05, 0.4, (B, max_gt, 2))], -1
+    ).astype(np.float32)
+    gt_cls = rng.integers(0, 80, (B, max_gt)).astype(np.int32)
+    gt_valid = rng.uniform(size=(B, max_gt)) < 0.12
+
+    got = match_anchors_pallas(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), interpret=True,
+    )
+    want = jax.vmap(
+        lambda c, b, v: match_anchors(c, b, v, jnp.asarray(anchors))
+    )(jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid))
+    np.testing.assert_array_equal(np.asarray(got.gt_index), np.asarray(want.gt_index))
+    np.testing.assert_array_equal(np.asarray(got.cls), np.asarray(want.cls))
+    np.testing.assert_allclose(np.asarray(got.box), np.asarray(want.box), atol=1e-6)
