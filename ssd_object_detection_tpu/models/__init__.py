@@ -1,4 +1,7 @@
-"""Flax model definitions: VGG-16 trunk + SSD multi-scale detection heads."""
+"""Flax model definitions: VGG-16 / ResNet-34 trunks + SSD multi-scale detection heads."""
 
-from ssd_object_detection_tpu.models.ssd import SSD, SSD300_SPEC_MODEL, SSD512_SPEC_MODEL, ModelSpec  # noqa: F401
+from ssd_object_detection_tpu.models.resnet import ResNet34Trunk  # noqa: F401
+from ssd_object_detection_tpu.models.ssd import (  # noqa: F401
+    SSD, SSD300_R34_SPEC_MODEL, SSD300_SPEC_MODEL, SSD512_SPEC_MODEL, ModelSpec,
+)
 from ssd_object_detection_tpu.models.vgg import VGG16Trunk  # noqa: F401

@@ -39,11 +39,17 @@ ConvSpec = Tuple[int, int, int, str]
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
-    """Static architecture description; `blocks[i]` ends at feature-map tap i."""
+    """Static architecture description; `blocks[i]` ends at feature-map tap i.
+
+    `trunk` selects the backbone family: "vgg16" (reference parity; trunk output is
+    pooled 2x before the pyramid) or "resnet34" (models/resnet.py; trunk emits the
+    38x38 tap-0 resolution directly — blocks[0] is empty, tapping the trunk output).
+    """
 
     name: str
     anchor_spec: AnchorSpec
     blocks: Tuple[Tuple[ConvSpec, ...], ...]
+    trunk: str = "vgg16"
 
     @property
     def image_size(self) -> int:
@@ -79,7 +85,39 @@ SSD512_SPEC_MODEL = ModelSpec(
     ),
 )
 
-MODEL_SPECS = {"ssd300": SSD300_SPEC_MODEL, "ssd512": SSD512_SPEC_MODEL}
+# ResNet-34 backbone family (MLPerf SSD-R34 pyramid shape; models/resnet.py). The
+# trunk emits 38x38x256 directly, so tap 0 is the trunk output and the remaining
+# pyramid matches SSD300's strided blocks. Same anchor spec as SSD300 — checkpoints,
+# decode, and eval machinery are shared; only the backbone differs (~1/3 the FLOPs).
+SSD300_R34_SPEC_MODEL = ModelSpec(
+    name="ssd300_r34",
+    anchor_spec=SSD300_SPEC,
+    trunk="resnet34",
+    blocks=(
+        (),  # tap 0 = trunk output (38x38x256)
+        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+        ((128, 1, 1, "SAME"), (256, 3, 1, "VALID")),
+        ((128, 1, 1, "SAME"), (256, 3, 1, "VALID")),
+    ),
+)
+
+# SSD512 on the ResNet-34 trunk: at 512^2 the trunk emits 64x64x256 = SSD512's tap-0
+# resolution, so the strided pyramid is SSD512's blocks[1:] unchanged.
+SSD512_R34_SPEC_MODEL = ModelSpec(
+    name="ssd512_r34",
+    anchor_spec=SSD512_SPEC,
+    trunk="resnet34",
+    blocks=((),) + SSD512_SPEC_MODEL.blocks[1:],
+)
+
+MODEL_SPECS = {
+    "ssd300": SSD300_SPEC_MODEL,
+    "ssd512": SSD512_SPEC_MODEL,
+    "ssd300_r34": SSD300_R34_SPEC_MODEL,
+    "ssd512_r34": SSD512_R34_SPEC_MODEL,
+}
 
 
 class SSD(nn.Module):
@@ -100,11 +138,17 @@ class SSD(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray):
         x = images.astype(self.dtype)
-        trunk = VGG16Trunk
-        if self.remat:
-            trunk = nn.remat(VGG16Trunk)
-        x = trunk(dtype=self.dtype, s2d_stem=self.s2d_stem, name="vgg")(x)
-        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+        if self.spec.trunk == "resnet34":
+            from ssd_object_detection_tpu.models.resnet import ResNet34Trunk
+
+            # s2d_stem is a VGG-conv1 rewrite; ignored here (conv1 is 7x7/2 on the
+            # MXU already) so config defaults work across variants
+            trunk = nn.remat(ResNet34Trunk) if self.remat else ResNet34Trunk
+            x = trunk(dtype=self.dtype, name="resnet")(x)  # 38x38x256: tap-0 resolution
+        else:
+            trunk = nn.remat(VGG16Trunk) if self.remat else VGG16Trunk
+            x = trunk(dtype=self.dtype, s2d_stem=self.s2d_stem, name="vgg")(x)
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
 
         feature_maps = []
         for bi, block in enumerate(self.spec.blocks):

@@ -128,6 +128,11 @@ class Trainer:
             jax.random.PRNGKey(0), jnp.zeros((1, spec.image_size, spec.image_size, 3))
         )
         if mc.pretrained_vgg:
+            if spec.trunk != "vgg16":
+                raise ValueError(
+                    f"pretrained_vgg is a VGG16 trunk import; variant {mc.variant!r} "
+                    f"uses the {spec.trunk!r} trunk"
+                )
             from ssd_object_detection_tpu.models.import_keras import load_vgg16_trunk_into
 
             params = load_vgg16_trunk_into(params, mc.pretrained_vgg)
