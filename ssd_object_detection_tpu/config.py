@@ -57,6 +57,10 @@ class DataConfig:  # config/default.yml:4-11
     max_gt: int = 100  # TPU extension: static GT padding (SURVEY.md section 7)
     num_workers: int = 8  # TPU extension: host decode threads
     prefetch: int = 4
+    # TPU extension: decode-once packed cache dir (data/packed.py). Empty = off.
+    # Built on first use; epochs then read uint8 memmaps (no JPEG decode). Ignored
+    # when pre-resize augmentation (expand/crop/photometric) is requested.
+    packed_cache: str = ""
 
 
 @dataclasses.dataclass

@@ -194,6 +194,41 @@ class Trainer:
             d.dataset_root, "train",
             mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
         )
+        if d.packed_cache and not (d.augment.expand or d.augment.crop or d.augment.photometric):
+            # decode-once cache (data/packed.py): pack on first use, then epochs are
+            # memmap reads. Pre-resize augmentation needs original pixels -> decode path.
+            from ssd_object_detection_tpu.data.packed import (
+                PackedConfig, PackedPipeline, is_packed, pack_dataset,
+            )
+
+            if not is_packed(d.packed_cache):
+                logger.info("building packed cache at %s ...", d.packed_cache)
+                pack_dataset(
+                    index, d.packed_cache, image_size=self.spec.image_size,
+                    max_gt=d.max_gt, num_workers=d.num_workers,
+                )
+            else:
+                import json as _json
+
+                with open(os.path.join(d.packed_cache, "meta.json")) as f:
+                    meta = _json.load(f)
+                if (meta["image_size"], meta["max_gt"]) != (self.spec.image_size, d.max_gt):
+                    raise ValueError(
+                        f"packed cache {d.packed_cache} was built for image_size="
+                        f"{meta['image_size']}, max_gt={meta['max_gt']}; config wants "
+                        f"{self.spec.image_size}/{d.max_gt} — delete the cache dir or "
+                        f"point packed_cache elsewhere"
+                    )
+            packed = PackedPipeline(
+                d.packed_cache,
+                PackedConfig(
+                    batch_size=self.cfg.model.train.batch_size, shuffle=d.shuffle,
+                    augment_flip=d.augment.flip,
+                ),
+            )
+            for _ in range(epochs):
+                yield from packed
+            return
         pipe = CocoPipeline(
             index,
             PipelineConfig(

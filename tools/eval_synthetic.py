@@ -32,12 +32,13 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
     p.add_argument("--gate", type=float, default=0.9)
+    p.add_argument("--variant", type=str, default="ssd300", choices=("ssd300", "ssd300_r34"))
     args = p.parse_args()
 
     from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
     from ssd_object_detection_tpu.eval.coco_map import DetectionEvaluator
     from ssd_object_detection_tpu.eval.predict import make_predict_fn
-    from ssd_object_detection_tpu.models.ssd import SSD, SSD300_SPEC_MODEL
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
     from ssd_object_detection_tpu.ops import boxes as box_ops
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
     from ssd_object_detection_tpu.train.optim import (
@@ -77,9 +78,10 @@ def main():
     train = materialize(train_ds)
     val = materialize(val_ds)
 
-    model = SSD(num_classes=num_classes + 1, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16)
+    spec = MODEL_SPECS[args.variant]
+    model = SSD(num_classes=num_classes + 1, spec=spec, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
-    anchors = generate_anchors(SSD300_SPEC_MODEL.anchor_spec)
+    anchors = generate_anchors(spec.anchor_spec)
 
     bs = args.batch_size
     n_batches = args.num_train // bs
@@ -147,7 +149,7 @@ def main():
 
     result = {
         "dataset": "synthetic (hermetic; data/synthetic.py)",
-        "model": "ssd300 bf16",
+        "model": f"{args.variant} bf16",
         "train": {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
                   "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)},
         "val_images": args.num_val,
