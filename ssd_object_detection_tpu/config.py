@@ -55,6 +55,7 @@ class DataConfig:  # config/default.yml:4-11
     mini_batch: MiniBatchConfig = dataclasses.field(default_factory=MiniBatchConfig)
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
     max_gt: int = 100  # TPU extension: static GT padding (SURVEY.md section 7)
+    seed: int = 0  # TPU extension: shuffle/augmentation seed (reference shuffles unseeded)
     num_workers: int = 8  # TPU extension: host decode threads
     prefetch: int = 4
     # TPU extension: decode-once packed cache dir (data/packed.py). Empty = off.

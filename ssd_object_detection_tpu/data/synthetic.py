@@ -80,10 +80,16 @@ class SyntheticDetectionDataset:
             placed += 1
         return image, gt_cls, gt_boxes, gt_valid
 
-    def batches(self, batch_size: int, epochs: int = 1, shuffle: bool = False):
+    def batches(self, batch_size: int, epochs: int = 1, shuffle: bool = False,
+                order_rng=None):
         """Yield dict batches matching the train-step contract; drops the remainder
-        (the reference batches with drop_remainder=True, models/ssd_model.py:225)."""
-        order_rng = np.random.default_rng(self.seed)
+        (the reference batches with drop_remainder=True, models/ssd_model.py:225).
+
+        Pass a persistent `order_rng` to advance the shuffle across separate calls
+        (the Trainer pulls one epoch per call; a fresh rng per call would replay
+        the same permutation every epoch)."""
+        if order_rng is None:
+            order_rng = np.random.default_rng(self.seed)
         for _ in range(epochs):
             order = np.arange(self.num_images)
             if shuffle:

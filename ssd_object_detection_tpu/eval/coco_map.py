@@ -68,6 +68,17 @@ class _RawImage:
     det_scores: np.ndarray  # (n_d,) descending
     gt_boxes: np.ndarray  # (n_g, 4) xyxy
     gt_crowd: np.ndarray  # (n_g,) bool
+    _iou_cache: Optional[Tuple[int, np.ndarray]] = None  # (max_dets, matrix)
+
+    def iou(self, max_dets: int) -> np.ndarray:
+        """IoU of the first max_dets detections vs all GTs, cached (the matrix is
+        area-range independent, so the 4 range passes share one computation)."""
+        if self._iou_cache is None or self._iou_cache[0] != max_dets:
+            self._iou_cache = (
+                max_dets,
+                _iou_xyxy(self.det_boxes[:max_dets], self.gt_boxes, self.gt_crowd),
+            )
+        return self._iou_cache[1]
 
 
 @dataclasses.dataclass
@@ -91,16 +102,19 @@ def _match_image(raw: _RawImage, area_rng: Tuple[float, float], max_dets: int) -
     matched = np.zeros((T, n_d), bool)
     ignored = np.zeros((T, n_d), bool)
     if n_d and n_g:
-        iou = _iou_xyxy(d_boxes, raw.gt_boxes, raw.gt_crowd)
+        iou = raw.iou(max_dets)
         real = ~g_ign
         for ti, t in enumerate(IOU_THRESHOLDS):
             thr = min(t, 1 - 1e-10)
             gt_taken = np.zeros((n_g,), bool)
             # greedy over score-sorted detections; the per-detection GT pick is
             # vectorized: prefer the best AVAILABLE non-ignored GT with IoU >= thr,
-            # else fall back to the best ignored/crowd GT (pycocotools semantics;
-            # ties resolve to the lowest index here where pycocotools takes the
-            # highest — identical up to exact float ties)
+            # else fall back to the best available ignored GT (pycocotools
+            # semantics: every NON-crowd GT — ignored or not — is claimable once
+            # (cocoeval's `gtm > 0 and not iscrowd` skip); only crowd GTs absorb
+            # any number of detections. Ties resolve to the lowest index here
+            # where pycocotools takes the highest — identical up to exact float
+            # ties.)
             for di in range(n_d):
                 row = iou[di]
                 cand = real & ~gt_taken & (row >= thr)
@@ -109,8 +123,10 @@ def _match_image(raw: _RawImage, area_rng: Tuple[float, float], max_dets: int) -
                     gt_taken[best_g] = True
                     matched[ti, di] = True
                     continue
-                cand = g_ign & (row >= thr)  # crowd/ignored GTs absorb any number
+                cand = g_ign & (raw.gt_crowd | ~gt_taken) & (row >= thr)
                 if cand.any():
+                    best_g = int(np.argmax(np.where(cand, row, -1.0)))
+                    gt_taken[best_g] = True
                     ignored[ti, di] = True
     if n_d:
         # unmatched detections outside the area range are ignored, not FPs
@@ -198,23 +214,40 @@ class DetectionEvaluator:
             aps[ti] = prec_at.mean()
         return aps, recalls
 
-    def _range_stats(self, area_rng: Tuple[float, float], max_dets: int):
-        """(mean AP (T,), mean recall (T,)) over classes with GTs, or None."""
-        per_class_ap, per_class_rec = [], []
+    @staticmethod
+    def _truncate(e: _ImageEval, k: int) -> _ImageEval:
+        """The match restricted to the top-k detections: greedy matching of a
+        score-sorted prefix is exactly the prefix of the full match (later
+        detections never influence earlier rows), so AR@1/AR@10 need no
+        re-matching — mirrors pycocotools, which matches once per area range and
+        truncates in accumulate()."""
+        return _ImageEval(
+            det_scores=e.det_scores[:k], det_matched=e.det_matched[:, :k],
+            det_ignored=e.det_ignored[:, :k], num_gt=e.num_gt,
+        )
+
+    def _range_stats(self, area_rng: Tuple[float, float], max_dets_list: Tuple[int, ...]):
+        """{max_dets: (mean AP (T,), mean recall (T,)) or None} over classes with
+        GTs; one greedy match per (image, class), truncated per maxDets entry."""
+        per_md = {md: ([], []) for md in max_dets_list}
         for c, raws in self._per_class.items():
-            evals = [_match_image(r, area_rng, max_dets) for r in raws]
-            acc = self._accumulate(evals)
-            if acc is not None:
-                per_class_ap.append(acc[0])
-                per_class_rec.append(acc[1])
-        if not per_class_ap:
-            return None
-        return np.stack(per_class_ap), np.stack(per_class_rec)
+            evals = [_match_image(r, area_rng, self.max_dets) for r in raws]
+            for md in max_dets_list:
+                e_md = evals if md >= self.max_dets else [self._truncate(e, md) for e in evals]
+                acc = self._accumulate(e_md)
+                if acc is not None:
+                    per_md[md][0].append(acc[0])
+                    per_md[md][1].append(acc[1])
+        return {
+            md: (np.stack(aps), np.stack(recs)) if aps else None
+            for md, (aps, recs) in per_md.items()
+        }
 
     def summarize(self) -> Dict[str, float]:
         """The COCO 12-metric summary (plus class count)."""
         out: Dict[str, float] = {}
-        stats = self._range_stats(AREA_RANGES["all"], self.max_dets)
+        all_stats = self._range_stats(AREA_RANGES["all"], (self.max_dets, 1, 10))
+        stats = all_stats[self.max_dets]
         if stats is None:
             return {
                 "mAP": 0.0, "mAP@0.5": 0.0, "mAP@0.75": 0.0,
@@ -230,14 +263,14 @@ class DetectionEvaluator:
         out["mAP@0.75"] = float(ap_all[:, i75].mean())
         out["AR@100"] = float(rec_all.mean())
         for md, key in ((1, "AR@1"), (10, "AR@10")):
-            s = self._range_stats(AREA_RANGES["all"], md)
+            s = all_stats[md]
             out[key] = float(s[1].mean()) if s else 0.0
         for rng, ap_key, ar_key in (
             ("small", "mAP_small", "AR_small"),
             ("medium", "mAP_medium", "AR_medium"),
             ("large", "mAP_large", "AR_large"),
         ):
-            s = self._range_stats(AREA_RANGES[rng], self.max_dets)
+            s = self._range_stats(AREA_RANGES[rng], (self.max_dets,))[self.max_dets]
             out[ap_key] = float(s[0].mean()) if s else 0.0
             out[ar_key] = float(s[1].mean()) if s else 0.0
         out["num_classes_evaluated"] = int(ap_all.shape[0])

@@ -8,10 +8,13 @@ TPU-first structure (v5e-measured): materializing softmax probabilities and deco
 boxes for all D=8732 anchors costs ~10 ms at batch 32 (the 81-class axis pads to 128
 lanes). Instead the class-agnostic candidate ranking happens in LOGIT space —
 max_c p_c = exp(max_fg_logit - logsumexp) is monotone in (max_fg_logit - logsumexp),
-two cheap (B, D) passes — and softmax, box decode, and per-class NMS then run only on
-the pre_nms_top_k pooled candidates (400 instead of 8732). Bitwise-equal detections to
-running ops/nms.batched_nms on fully-materialized scores (same pool, same stages),
-verified by test_predict_eval.py::test_fused_predict_matches_reference_path.
+two cheap (B, D) passes — and softmax, box decode, and NMS then run only on the
+pre_nms_top_k pooled candidates (400 instead of 8732). With nms_mode="per_class" the
+result is bitwise-equal to running ops/nms.batched_nms on fully-materialized scores
+(same pool, same stages) — verified by tests/test_fused_predict.py. The DEFAULT
+nms_mode="merged" trades that exactness for speed: it examines only the global
+top-M (anchor, class) pairs (see ops/nms.nms_on_pool_merged for when results can
+differ).
 """
 
 from __future__ import annotations
@@ -36,8 +39,12 @@ def detect_from_logits(
     top_k_per_class: int = 100,
     max_detections: int = 100,
     nms_mode: str = "merged",  # "merged" (fast, torchvision-style) | "per_class"
+    merged_top_k: Optional[int] = None,  # merged mode's global pool; None = auto
 ) -> Detections:
-    """Fused decode: logits -> Detections, heavy work restricted to the candidate pool."""
+    """Fused decode: logits -> Detections, heavy work restricted to the candidate pool.
+
+    `top_k_per_class` applies to nms_mode="per_class"; `merged_top_k` (None = a
+    2.56x max_detections margin) applies to nms_mode="merged"."""
     batch, num_anchors, num_ch = pred_logits.shape
 
     # Stage 1 in logit space: rank anchors by max foreground probability.
@@ -58,7 +65,8 @@ def detect_from_logits(
     if nms_mode == "merged":
         return nms_on_pool_merged(
             pool_boxes, pool_probs,
-            iou_thresh=iou_thresh, max_detections=max_detections,
+            iou_thresh=iou_thresh, merged_top_k=merged_top_k,
+            max_detections=max_detections,
         )
     return nms_on_pool(
         pool_boxes, pool_probs,
@@ -77,6 +85,7 @@ def make_predict_fn(
     top_k_per_class: int = 100,
     max_detections: int = 100,
     nms_mode: str = "merged",
+    merged_top_k: Optional[int] = None,
 ) -> Callable:
     """Returns predict(params, images01) -> Detections (boxes relative cxcywh).
 
@@ -95,6 +104,7 @@ def make_predict_fn(
             variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
             pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
             max_detections=max_detections, nms_mode=nms_mode,
+            merged_top_k=merged_top_k,
         )
 
     return predict
@@ -111,6 +121,7 @@ def make_fused_predict_fn(
     top_k_per_class: int = 100,
     max_detections: int = 100,
     nms_mode: str = "merged",
+    merged_top_k: Optional[int] = None,
 ) -> Callable:
     """Fully fused inference (BASELINE.json config #2): the host does only JPEG
     decode; resize, normalization, forward, softmax, decode, and NMS are ONE jit.
@@ -134,6 +145,7 @@ def make_fused_predict_fn(
             variances=variances, iou_thresh=iou_thresh, score_thresh=score_thresh,
             pre_nms_top_k=pre_nms_top_k, top_k_per_class=top_k_per_class,
             max_detections=max_detections, nms_mode=nms_mode,
+            merged_top_k=merged_top_k,
         )
 
     return predict

@@ -22,17 +22,32 @@ def evaluate_batches(
     batches: Iterable[Dict[str, np.ndarray]],
     num_classes: int = 80,
     max_batches: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run prediction over batches and compute COCO-style mAP.
 
     Batches carry relative-cxcywh GTs + `orig_size` (h, w); predictions and GTs are
     both scaled to original-pixel xyxy before matching, so the numbers are
     COCO-comparable.
+
+    With `mesh` (a 1-D data mesh from parallel.make_mesh), inference itself is
+    data-parallel: params are replicated once and each batch is sharded along axis
+    0 — the SAME jitted predict runs, GSPMD partitions it, detections gather back
+    identical to single-device (tests/test_parallel.py). Batches whose size does
+    not divide the mesh (e.g. the epoch remainder) fall back to the default device
+    placement; the reference has no multi-device anything (SURVEY.md section 2).
     """
+    if mesh is not None:
+        from ssd_object_detection_tpu.parallel.mesh import replicate, shard_batch
+
+        params = replicate(params, mesh)
     evaluator = DetectionEvaluator(num_classes=num_classes)
     n = 0
     for batch in batches:
-        det = predict_fn(params, batch["image"])
+        images = batch["image"]
+        if mesh is not None and images.shape[0] % mesh.size == 0:
+            images = shard_batch(images, mesh)
+        det = predict_fn(params, images)
         det_boxes = np.asarray(det.boxes)  # (B, K, 4) relative cxcywh
         det_scores = np.asarray(det.scores)
         det_classes = np.asarray(det.classes)

@@ -188,7 +188,7 @@ def nms_on_pool_merged(
     pool_boxes: jnp.ndarray,  # (B, N, 4) cxcywh candidate boxes
     pool_scores: jnp.ndarray,  # (B, N, C) per-class scores, sub-threshold already 0
     iou_thresh: float = 0.45,
-    merged_top_k: int = 256,
+    merged_top_k: Optional[int] = None,
     max_detections: int = 100,
 ) -> Detections:
     """Merged-candidate class-aware NMS (the torchvision/detectron decode shape):
@@ -200,10 +200,14 @@ def nms_on_pool_merged(
     batch 32, the dominant NMS cost — to (B, M, M) = 4 MB, and drops the per-class
     payload sort entirely. Detections can differ only when a class's candidates all
     rank below the global top-M yet would have survived into the final top-100 —
-    pathological at M >= 2.5x max_detections. This is the default inference decode;
-    `batched_nms` keeps the per-class-exact semantics.
+    pathological at M >= 2.5x max_detections (the default: merged_top_k=None
+    derives max(256, 2.56 * max_detections), so the margin tracks larger
+    max_detections). This is the default inference decode; `batched_nms` keeps
+    the per-class-exact semantics.
     """
     batch, n_pool, num_classes = pool_scores.shape
+    if merged_top_k is None:
+        merged_top_k = max(256, (max_detections * 256) // 100)
     m = min(merged_top_k, n_pool * num_classes)
 
     # one global top-M over (anchor, class) pairs; flat index = anchor * C + class
@@ -212,14 +216,18 @@ def nms_on_pool_merged(
     cand_pool = flat_idx // num_classes
     cand_class = flat_idx % num_classes
 
-    # candidate geometry via one-hot matmul (MXU) — exact for f32 (0/1 weights);
-    # avoids the scalar-gather lowering of take_along_axis at (B, M) shapes
+    # candidate geometry via one-hot matmul (MXU) — avoids the scalar-gather
+    # lowering of take_along_axis at (B, M) shapes. precision=HIGHEST makes the
+    # gather EXACT for f32 coordinates: the MXU's default bf16 multiply would
+    # round them by ~2^-9, while the 3-pass f32 emulation recombines the hi/mid/lo
+    # bf16 split exactly against 0/1 weights (negligible cost at (M, N) x (N, 4)).
     onehot = (
         cand_pool[..., None] == jnp.arange(n_pool, dtype=jnp.int32)[None, None]
     ).astype(jnp.float32)  # (B, M, N)
     xyxy = box_ops.cxcywh_to_xyxy(pool_boxes)  # (B, N, 4)
     geom = jnp.einsum(
-        "bmn,bnf->bmf", onehot, xyxy, preferred_element_type=jnp.float32
+        "bmn,bnf->bmf", onehot, xyxy, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, M, 4)
     planes = [geom[..., i] for i in range(4)]
 

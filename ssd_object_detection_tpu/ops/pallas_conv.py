@@ -117,10 +117,12 @@ def _conv3x3_pallas(
         interpret = jax.default_backend() == "cpu"
     b, h, w, ic = x.shape
     oc = kernel.shape[-1]
+    if pool and (h % 2 or w % 2):
+        raise ValueError(f"2x2/s2 pool needs even H and W, got {h}x{w}")
     r = row_tile or _pick_row_tile(h, w, ic, oc, pool)
     assert h % r == 0, (h, r)
     if pool:
-        assert r % 2 == 0 and w % 2 == 0, (r, w)
+        assert r % 2 == 0, r
     nt = h // r
 
     # (3, 3, IC, OC) -> per-ky (IC, 3*OC), kx on the N axis

@@ -146,7 +146,15 @@ def _matcher_kernel(thresh: float, num_real_anchors: int, chunk: int,
         final_gt = jnp.where(hit, col_row, prior)  # (1, chunk)
         gt_out[0, :, s] = final_gt
         onehot = ((row_iota_gc == final_gt) & (final_gt >= 0)).astype(jnp.float32)
-        data_out[0, :, s] = jnp.dot(gt5, onehot, preferred_element_type=jnp.float32)
+        # precision=HIGHEST: the MXU multiplies in bf16 by default, which would
+        # round the matched box coordinates by ~2^-9 (measured 4e-3 decode error
+        # on-chip). The 3-pass f32 emulation is exact here — the f32 operand's
+        # hi/mid/lo bf16 split recombines exactly against 0/1 one-hot weights —
+        # and costs microseconds at (5, G) x (G, chunk).
+        data_out[0, :, s] = jnp.dot(
+            gt5, onehot, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return 0
 
     jax.lax.fori_loop(0, n_chunks, phase2_chunk, 0)

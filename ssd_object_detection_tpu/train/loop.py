@@ -67,6 +67,18 @@ except ImportError:  # pragma: no cover
     ocp = None
 
 
+class _EpochIterable:
+    """Adapter giving a make-one-epoch callable the same contract as the stateful
+    pipelines (PackedPipeline/CocoPipeline): each __iter__ yields one epoch, and
+    any rng captured by the callable advances across epochs."""
+
+    def __init__(self, make_epoch):
+        self._make_epoch = make_epoch
+
+    def __iter__(self):
+        return iter(self._make_epoch())
+
+
 class Trainer:
     def __init__(self, config: Config, run_dir: Optional[str] = None):
         self.cfg = config.validate()
@@ -154,6 +166,7 @@ class Trainer:
         if self.mesh is not None:
             logger.info("data-parallel over %d devices", n_dp)
 
+        self._train_source = None
         self._tb = None
         if tf is not None:
             self._tb = tf.summary.create_file_writer(os.path.join(self.run_dir, "tensorboard"))
@@ -180,6 +193,20 @@ class Trainer:
 
     # ------------------------------------------------------------------ data
     def train_batches(self, epochs: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield `epochs` epochs of training batches.
+
+        The underlying epoch source is constructed ONCE per Trainer and keeps its
+        shuffle/augmentation rng state across calls, so epoch N+1 gets a different
+        permutation and different flip coins than epoch N even though train()
+        pulls one epoch per call."""
+        if self._train_source is None:
+            self._train_source = self._make_train_source()
+        for _ in range(epochs):
+            yield from self._train_source
+
+    def _make_train_source(self):
+        """Build the epoch-iterable for the configured dataset (each __iter__ is
+        one epoch; the object's rng/epoch state advances across iterations)."""
         d = self.cfg.data
         if d.dataset == "synthetic":
             ds = SyntheticDetectionDataset(
@@ -188,8 +215,11 @@ class Trainer:
                 max_gt=min(d.max_gt, 8),
                 num_classes=min(self.cfg.data.num_classes, 8),
             )
-            yield from ds.batches(self.cfg.model.train.batch_size, epochs=epochs, shuffle=d.shuffle)
-            return
+            order_rng = np.random.default_rng(d.seed)
+            return _EpochIterable(lambda: ds.batches(
+                self.cfg.model.train.batch_size, epochs=1, shuffle=d.shuffle,
+                order_rng=order_rng,
+            ))
         index = open_split(
             d.dataset_root, "train",
             mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
@@ -212,30 +242,34 @@ class Trainer:
 
                 with open(os.path.join(d.packed_cache, "meta.json")) as f:
                     meta = _json.load(f)
-                if (meta["image_size"], meta["max_gt"]) != (self.spec.image_size, d.max_gt):
+                want = {
+                    "image_size": self.spec.image_size, "max_gt": d.max_gt,
+                    "count": len(index.records), "include_crowd": True,
+                }
+                got = {k: meta.get(k) for k in want}
+                if got != want:
                     raise ValueError(
-                        f"packed cache {d.packed_cache} was built for image_size="
-                        f"{meta['image_size']}, max_gt={meta['max_gt']}; config wants "
-                        f"{self.spec.image_size}/{d.max_gt} — delete the cache dir or "
-                        f"point packed_cache elsewhere"
+                        f"packed cache {d.packed_cache} does not match this config/"
+                        f"dataset: cache has {got}, config wants {want} (a count "
+                        f"mismatch usually means the cache was built from a "
+                        f"different index, e.g. with mini_batch on/off) — delete "
+                        f"the cache dir or point packed_cache elsewhere"
                     )
-            packed = PackedPipeline(
+            return PackedPipeline(
                 d.packed_cache,
                 PackedConfig(
                     batch_size=self.cfg.model.train.batch_size, shuffle=d.shuffle,
-                    augment_flip=d.augment.flip,
+                    augment_flip=d.augment.flip, seed=d.seed,
                 ),
             )
-            for _ in range(epochs):
-                yield from packed
-            return
-        pipe = CocoPipeline(
+        return CocoPipeline(
             index,
             PipelineConfig(
                 image_size=self.spec.image_size,
                 max_gt=d.max_gt,
                 batch_size=self.cfg.model.train.batch_size,
                 shuffle=d.shuffle,
+                seed=d.seed,
                 num_workers=d.num_workers,
                 prefetch=d.prefetch,
                 augment_flip=d.augment.flip,
@@ -244,8 +278,6 @@ class Trainer:
                 augment_photometric=d.augment.photometric,
             ),
         )
-        for _ in range(epochs):
-            yield from pipe
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """Validation split (the reference loads one but never consumes it,

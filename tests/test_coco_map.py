@@ -71,6 +71,35 @@ def test_crowd_gt_neither_tp_nor_fp():
     assert out["mAP@0.5"] == pytest.approx(1.0)
 
 
+def test_non_crowd_ignored_gt_absorbs_only_one_detection():
+    """pycocotools semantics: a NON-crowd ignored GT (e.g. out of the area range) is
+    claimable once (gtm set, `gtm > 0 and not iscrowd` skip); only crowd GTs absorb
+    unlimited detections. A second detection on an already-claimed out-of-range GT
+    must therefore be a FP in the bucketed metric, not ignored."""
+    ev = DetectionEvaluator()
+    gt = np.array([
+        [0.0, 0.0, 34.0, 34.0],  # area 1156 -> medium; IGNORED in the 'small' range
+        [100.0, 100.0, 110.0, 110.0],  # area 100 -> small
+    ])
+    cls = np.zeros(2, int)
+    dets = np.array([
+        # two small-area (in-range) detections on GT0, IoU .88 each (>= t for the
+        # 8 thresholds .50-.85), ranked ABOVE the true positive:
+        [0.0, 0.0, 32.0, 31.9],  # score .95: claims ignored GT0 -> ignored
+        [0.0, 0.0, 31.9, 32.0],  # score .90: GT0 already taken -> in-range FP
+        [100.0, 100.0, 110.0, 110.0],  # score .85: exact small TP
+    ])
+    ev.add_image(dets, np.array([0.95, 0.9, 0.85]), np.zeros(3, int), gt, cls)
+    out = ev.summarize()
+    # t <= .85 (8 thresholds): det0 ignored, det1 FP above the TP ->
+    #   prec/rec pairs (0, 0) then (1/2, 1) -> AP 0.5.
+    # t in {.90, .95}: neither det reaches GT0 (IoU .88) -> det0 AND det1 are
+    #   in-range FPs above the TP -> AP 1/3 (identical with or without the
+    #   taken-once rule). Crowd-style reuse would instead ignore det1 at t <= .85,
+    #   giving AP 1.0 there and mAP_small 0.8667.
+    assert out["mAP_small"] == pytest.approx((8 * 0.5 + 2 * (1 / 3)) / 10)
+
+
 def test_wrong_class_is_fp():
     ev = DetectionEvaluator()
     gt = np.array([_box(0, 0, 10, 10)], float)
@@ -238,15 +267,18 @@ def _random_scene(rng, n_img=4, n_cls=3):
         gt = boxes(n_g)
         gcls = rng.integers(0, n_cls, n_g)
         gcrowd = rng.uniform(size=n_g) < 0.25
-        # half the detections are perturbed GTs, half random
+        # most detections are perturbed GTs (a random GT each, so several
+        # detections can pile onto one GT — exercising the crowd-reusable /
+        # non-crowd-taken-once distinction), the rest random false positives
         dt = []
         dcls = []
         for i in range(n_d):
-            if i < n_g and rng.uniform() < 0.6:
-                b = gt[i] + rng.normal(0, 6, 4)
+            if n_g and rng.uniform() < 0.6:
+                j = int(rng.integers(0, n_g))
+                b = gt[j] + rng.normal(0, 6, 4)
                 b[2:] = np.maximum(b[2:], b[:2] + 1)
                 dt.append(b)
-                dcls.append(gcls[i] if rng.uniform() < 0.8 else rng.integers(0, n_cls))
+                dcls.append(gcls[j] if rng.uniform() < 0.8 else rng.integers(0, n_cls))
             else:
                 dt.append(boxes(1)[0])
                 dcls.append(rng.integers(0, n_cls))

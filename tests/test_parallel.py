@@ -120,3 +120,68 @@ def test_2d_mesh_dp_tp_step_matches_single_device(tiny_setup):
     # and the wide kernels really are sharded over the model axis
     wide = state2.params["params"]["extra0_conv0"]["kernel"]
     assert len(wide.sharding.device_set) == 8
+
+
+def _exact_params(params):
+    """Quantize params onto a small dyadic grid (multiples of 1/256, |w| <= 4/256,
+    biases 0). With +-1 inputs every conv product and partial sum is then exactly
+    representable in f32, so the forward is BITWISE deterministic regardless of how
+    XLA blocks/partitions the computation — letting DP-vs-single-device tests
+    assert exact equality instead of papering over backend rounding."""
+    return jax.tree.map(lambda x: jnp.clip(jnp.round(x * 256.0), -4, 4) / 256.0, params)
+
+
+def test_dp_inference_matches_single_device(tiny_setup):
+    """BASELINE config #2 under DP: the SAME jitted predict (forward + decode +
+    NMS) over a batch-sharded input returns detections identical to single-device
+    (eval/runner.evaluate_batches drives this path with mesh=...)."""
+    from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn, make_predict_fn
+    from ssd_object_detection_tpu.ops.preprocess import pack_canvas
+
+    _, state, _ = tiny_setup
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    anchors = generate_anchors(TINY_ANCHORS)
+    params = _exact_params(state.params)
+    predict = make_predict_fn(model.apply, anchors)
+
+    rng = np.random.default_rng(0)
+    binary = rng.integers(0, 2, (8, 64, 64, 3)).astype(np.float32)  # {0,1} -> exact
+    images = jnp.asarray(binary)
+    det1 = predict(params, images)
+
+    mesh = make_mesh(8)
+    det8 = predict(replicate(params, mesh), shard_batch(images, mesh))
+    for a, b in zip(det1, det8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fused uint8 path (planar canvas + sizes) shards the same way; {0,255} pixels
+    # stay exact through /255 -> normalize
+    canvas, sizes = pack_canvas(
+        [(binary[i] * 255).astype(np.uint8) for i in range(8)], (96, 96)
+    )
+    fused = make_fused_predict_fn(model.apply, anchors, image_size=64)
+    f1 = fused(params, jnp.asarray(canvas), jnp.asarray(sizes))
+    f8 = fused(
+        replicate(params, mesh),
+        shard_batch(jnp.asarray(canvas), mesh),
+        shard_batch(jnp.asarray(sizes), mesh),
+    )
+    for a, b in zip(f1, f8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_batches_with_mesh(tiny_setup):
+    """mesh= path of eval/runner.evaluate_batches: same metrics as single-device."""
+    from ssd_object_detection_tpu.eval.predict import make_predict_fn
+    from ssd_object_detection_tpu.eval.runner import evaluate_batches
+
+    _, state, batch = tiny_setup
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    anchors = generate_anchors(TINY_ANCHORS)
+    params = _exact_params(state.params)
+    predict = make_predict_fn(model.apply, anchors)
+    batches = [dict(batch, image=(np.asarray(batch["image"]) > 0.5).astype(np.float32))]
+
+    m1 = evaluate_batches(predict, params, batches, num_classes=8)
+    m8 = evaluate_batches(predict, params, batches, num_classes=8, mesh=make_mesh(8))
+    assert m1 == m8

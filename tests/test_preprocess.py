@@ -20,30 +20,53 @@ def _ref_resize(img_u8: np.ndarray, size: int) -> np.ndarray:
     return cv2.resize(img_u8, (size, size)).astype(np.float32) / 255.0
 
 
+# cv2 INTER_LINEAR uses fixed-point weights (5 fractional bits on the lerp): the
+# f32 gather path lands within a fraction of a uint8 step of it. The matmul path
+# (the TPU default) adds bf16 rounding of the interpolation weights and of the one
+# row-pass intermediate (~1.5/255 bound; measured worst 2.04/255 vs cv2) — same
+# sample grid, slightly looser arithmetic tolerance.
+TOL = {"gather": 2.5 / 255.0, "matmul": 3.2 / 255.0}
+
+
+@pytest.mark.parametrize("method", ["gather", "matmul"])
 @pytest.mark.parametrize("hw", [(480, 640), (640, 480), (300, 300), (123, 457), (37, 50)])
-def test_resize_matches_cv2(hw):
+def test_resize_matches_cv2(hw, method):
     rng = np.random.default_rng(hash(hw) % 2**32)
     img = rng.integers(0, 256, (*hw, 3), np.uint8)
     canvas, sizes = pack_canvas([img], (640, 640))
-    got = np.asarray(resize_bilinear_planar(jnp.asarray(canvas), jnp.asarray(sizes), 300))[0]
+    got = np.asarray(
+        resize_bilinear_planar(jnp.asarray(canvas), jnp.asarray(sizes), 300, method=method)
+    )[0]
     want = _ref_resize(img, 300)
-    # cv2 INTER_LINEAR uses fixed-point weights (5 fractional bits on the lerp);
-    # allow a couple of least-significant uint8 steps
     assert got.shape == want.shape == (300, 300, 3)
-    assert np.max(np.abs(got - want)) < 2.5 / 255.0, np.max(np.abs(got - want))
+    assert np.max(np.abs(got - want)) < TOL[method], np.max(np.abs(got - want))
 
 
-def test_resize_batch_mixed_sizes():
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_resize_batch_mixed_sizes(method):
     rng = np.random.default_rng(0)
     imgs = [
         rng.integers(0, 256, (480, 640, 3), np.uint8),
         rng.integers(0, 256, (100, 200, 3), np.uint8),
     ]
     canvas, sizes = pack_canvas(imgs, (640, 640))
-    got = np.asarray(resize_bilinear_planar(jnp.asarray(canvas), jnp.asarray(sizes), 300))
+    got = np.asarray(
+        resize_bilinear_planar(jnp.asarray(canvas), jnp.asarray(sizes), 300, method=method)
+    )
     for i, img in enumerate(imgs):
         want = _ref_resize(img, 300)
-        assert np.max(np.abs(got[i] - want)) < 2.5 / 255.0
+        assert np.max(np.abs(got[i] - want)) < TOL[method]
+
+
+def test_resize_methods_agree():
+    """Same sample grid: matmul and gather differ only by bf16 arithmetic rounding."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (240, 320, 3), np.uint8) for _ in range(2)]
+    canvas, sizes = pack_canvas(imgs, (640, 640))
+    canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+    a = np.asarray(resize_bilinear_planar(canvas, sizes, 300, method="matmul"))
+    b = np.asarray(resize_bilinear_planar(canvas, sizes, 300, method="gather"))
+    assert np.max(np.abs(a - b)) < 2.0 / 255.0
 
 
 def test_axis_grid_identity():

@@ -49,6 +49,21 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.isdir(tmp_path / "run" / "checkpoints")
 
 
+def test_train_batches_reshuffle_across_epoch_calls(tmp_path):
+    """train() pulls one epoch per train_batches() call; the shuffle state must
+    advance across calls (a fresh per-call rng would replay the identical
+    permutation and flip coins every epoch)."""
+    cfg = _tiny_config(tmp_path, **{"data.mini_batch.num_data": 32, "model.train.batch_size": 4})
+    trainer = Trainer(cfg, run_dir=str(tmp_path / "run"))
+    def images(epoch):
+        return [row.tobytes() for b in epoch for row in b["gt_cls"]]
+
+    e1 = images(trainer.train_batches(epochs=1))
+    e2 = images(trainer.train_batches(epochs=1))
+    assert sorted(e1) == sorted(e2)  # same multiset of images every epoch...
+    assert e1 != e2  # ...in a different order
+
+
 def test_trainer_resume(tmp_path):
     cfg = _tiny_config(tmp_path)
     run = str(tmp_path / "run")
