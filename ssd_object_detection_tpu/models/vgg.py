@@ -148,6 +148,10 @@ class VGG16Trunk(nn.Module):
                 x = x.reshape(b, h, w, 4, 64).max(axis=3)
                 continue
             if block > 1 and not (block == 2 and self.s2d_stem):
+                # reduce_window, NOT ops/pooling.max_pool_2x2: the mask-based
+                # backward was measured SLOWER end-to-end (54 -> 67 ms/step; its
+                # even/odd interleave relayouts cost more than select-and-scatter
+                # itself — BASELINE.md round 2)
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
             for i in range(1, n_convs + 1):
                 x = nn.Conv(

@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--max-batches", type=int, default=None)
     parser.add_argument("--score-thresh", type=float, default=0.01)
     parser.add_argument("--iou-thresh", type=float, default=0.45)
+    parser.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="shard inference over the first N local devices (0 = single device); "
+        "batch_size should be a multiple of N",
+    )
     args = parser.parse_args()
 
     from flax import serialization
@@ -79,8 +84,15 @@ def main():
             ),
         )
 
+    mesh = None
+    if args.data_parallel > 1:
+        from ssd_object_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
     metrics = evaluate_batches(
-        predict, params, batches, num_classes=cfg.data.num_classes, max_batches=args.max_batches
+        predict, params, batches, num_classes=cfg.data.num_classes,
+        max_batches=args.max_batches, mesh=mesh,
     )
     print(json.dumps(metrics))
 
