@@ -56,7 +56,45 @@ def export_detector(
     return blob
 
 
+def export_fused_detector(
+    apply_fn,
+    params,
+    anchors,
+    batch_size: int,
+    image_size: int,
+    canvas_hw: Tuple[int, int] = (640, 640),
+    variances: Optional[Tuple[float, float]] = None,
+    platforms: Optional[Tuple[str, ...]] = None,
+    **nms_kwargs,
+) -> bytes:
+    """Serialize the FUSED serving contract (BASELINE config #2): the artifact takes
+    a planar uint8 canvas (B, 3, Hc, Wc) + per-image (h, w) sizes and performs
+    on-device resize -> normalize -> forward -> decode -> NMS. A serving process
+    keeps only JPEG decode + ops/preprocess.pack_canvas on the host."""
+    from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
+
+    predict = make_fused_predict_fn(
+        apply_fn, anchors, image_size=image_size, variances=variances, **nms_kwargs
+    )
+
+    def detect(canvas_u8, sizes):
+        return predict(params, canvas_u8, sizes)
+
+    hc, wc = canvas_hw
+    specs = (
+        jax.ShapeDtypeStruct((batch_size, 3, hc, wc), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, 2), jnp.int32),
+    )
+    exported = jax_export.export(jax.jit(detect), platforms=platforms)(*specs)
+    blob = bytes(exported.serialize())
+    logger.info(
+        "exported fused detector: %d bytes, platforms=%s", len(blob), exported.platforms
+    )
+    return blob
+
+
 def load_detector(blob: bytes):
-    """Deserialize an exported detector: returns detect(images01) -> Detections."""
+    """Deserialize an exported detector: detect(images01) or, for fused artifacts,
+    detect(canvas_u8, sizes) -> Detections."""
     exported = jax_export.deserialize(blob)
-    return lambda images01: exported.call(images01)
+    return lambda *args: exported.call(*args)

@@ -29,3 +29,39 @@ def test_export_reload_matches_live_predict():
     np.testing.assert_allclose(np.asarray(served.scores), np.asarray(live.scores), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(served.classes), np.asarray(live.classes))
     np.testing.assert_allclose(np.asarray(served.boxes), np.asarray(live.boxes), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_export_reload_matches_live_fused_predict():
+    """The fused uint8 serving contract (canvas + sizes in, detections out)
+    round-trips through serialize/deserialize identically to the live path."""
+    from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
+    from ssd_object_detection_tpu.eval.serve import export_fused_detector
+    from ssd_object_detection_tpu.ops.preprocess import pack_canvas
+
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    anchors = generate_anchors(TINY_ANCHORS)
+
+    blob = export_fused_detector(
+        model.apply, params, anchors, batch_size=2, image_size=64,
+        canvas_hw=(96, 96), score_thresh=0.05,
+    )
+    detect = load_detector(blob)
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (80, 96, 3), np.uint8),
+            rng.integers(0, 256, (64, 64, 3), np.uint8)]
+    canvas, sizes = pack_canvas(imgs, (96, 96))
+    canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+    served = detect(canvas, sizes)
+
+    live = make_fused_predict_fn(
+        model.apply, anchors, image_size=64, score_thresh=0.05
+    )(params, canvas, sizes)
+    np.testing.assert_allclose(
+        np.asarray(served.scores), np.asarray(live.scores), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(served.classes), np.asarray(live.classes))
+    np.testing.assert_allclose(
+        np.asarray(served.boxes), np.asarray(live.boxes), rtol=1e-4, atol=1e-6
+    )

@@ -7,6 +7,10 @@ The artifact embeds the weights; serve it with:
     from ssd_object_detection_tpu.eval.serve import load_detector
     detect = load_detector(open("detector.stablehlo", "rb").read())
     detections = detect(images01)   # (B, S, S, 3) float32 in [0, 1]
+
+`--fused` exports the fully-fused uint8 contract instead (on-device resize +
+normalize + forward + NMS; host keeps only JPEG decode + pack_canvas):
+    detections = detect(canvas_u8, sizes)  # (B, 3, Hc, Wc) uint8, (B, 2) int32
 """
 
 import argparse
@@ -26,6 +30,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--platforms", type=str, nargs="*", default=None)
     parser.add_argument("--score-thresh", type=float, default=0.01)
+    parser.add_argument("--fused", action="store_true",
+                        help="fused uint8 contract: detect(canvas_u8, sizes)")
+    parser.add_argument("--canvas", type=int, nargs=2, default=(640, 640),
+                        metavar=("HC", "WC"), help="canvas extents for --fused")
     args = parser.parse_args()
 
     import jax
@@ -33,7 +41,7 @@ def main():
     from flax import serialization
 
     from ssd_object_detection_tpu.config import load_config
-    from ssd_object_detection_tpu.eval.serve import export_detector
+    from ssd_object_detection_tpu.eval.serve import export_detector, export_fused_detector
     from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
 
@@ -46,13 +54,21 @@ def main():
         with open(args.weights, "rb") as f:
             params = serialization.from_bytes(params, f.read())
 
-    blob = export_detector(
-        model.apply, params, generate_anchors(spec.anchor_spec),
+    common = dict(
         batch_size=args.batch_size, image_size=spec.image_size,
         variances=cfg.model.loss.variances,
         platforms=tuple(args.platforms) if args.platforms else None,
         score_thresh=args.score_thresh,
     )
+    if args.fused:
+        blob = export_fused_detector(
+            model.apply, params, generate_anchors(spec.anchor_spec),
+            canvas_hw=tuple(args.canvas), **common,
+        )
+    else:
+        blob = export_detector(
+            model.apply, params, generate_anchors(spec.anchor_spec), **common,
+        )
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out} ({len(blob)} bytes)")
