@@ -2,10 +2,12 @@
 
 An FFCV-style ahead-of-time materialization of the deterministic per-image transform
 (JPEG decode -> RGB -> resize to SxS -> GT pad; data/pipeline.load_and_transform with
-augmentation off). After packing, an epoch is pure `np.memmap` reads + one uint8->f32
-scale per batch — no JPEG decode, no cv2, no thread pool — so host CPUs stop being the
-training bottleneck (on a 1-vCPU host the decode pipeline sustains ~10 img/s while the
-TPU train step consumes >500; the packed path is memory-bandwidth-bound instead).
+augmentation off). After packing, an epoch is pure `np.memmap` reads — no JPEG
+decode, no cv2, no thread pool — so host CPUs stop being the training bottleneck
+(on a 1-vCPU host the decode pipeline sustains ~10 img/s while the TPU train step
+consumes >500). Batches stay uint8 end-to-end (the train step scales on device),
+cutting host->device transfer 4x vs f32 — over the axon tunnel (~14 MB/s) the f32
+feed alone was ~2.5 s per batch-32, 80x the 31 ms R34 step it feeds.
 
 Replaces (as an opt-in cache) the reference's per-epoch re-decode of every JPEG
 through three nested tf.data generators (reference data_loaders/coco/
@@ -117,6 +119,9 @@ class PackedConfig:
     drop_remainder: bool = True
     augment_flip: bool = False
     seed: int = 0
+    # uint8 batches (default): 4x less host->device traffic; the train step
+    # scales on device (train/step.py). as_float restores the [0,1] f32 contract.
+    as_float: bool = False
 
 
 class PackedPipeline:
@@ -150,7 +155,9 @@ class PackedPipeline:
         end = n - (n % b) if self.cfg.drop_remainder else n
         for i in range(0, end, b):
             idx = np.sort(order[i : i + b])  # sorted: sequential-ish memmap reads
-            images = self._images[idx].astype(np.float32) / 255.0
+            images = self._images[idx]  # uint8 copy (fancy indexing)
+            if self.cfg.as_float:
+                images = images.astype(np.float32) / 255.0
             batch = {
                 "image": images,
                 "gt_cls": self._gt["gt_cls"][idx],

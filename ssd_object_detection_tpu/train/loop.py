@@ -242,9 +242,12 @@ class Trainer:
 
                 with open(os.path.join(d.packed_cache, "meta.json")) as f:
                     meta = _json.load(f)
+                # usable records: the pipeline (and hence the pack) skips images
+                # with zero annotations (reference coco/make_dataset.py:126-127)
+                n_usable = sum(1 for r in index.records if r.boxes.shape[0] > 0)
                 want = {
                     "image_size": self.spec.image_size, "max_gt": d.max_gt,
-                    "count": len(index.records), "include_crowd": True,
+                    "count": n_usable, "include_crowd": True,
                 }
                 got = {k: meta.get(k) for k in want}
                 if got != want:
@@ -401,6 +404,8 @@ class Trainer:
         from ssd_object_detection_tpu.utils import viz
 
         image01 = np.asarray(batch["image"][0])
+        if image01.dtype == np.uint8:
+            image01 = image01.astype(np.float32) / 255.0
         if not hasattr(self, "_fwd"):
             self._fwd = make_eval_forward(self.model.apply)
         loc, logits = self._fwd(state.params, batch["image"][:1])

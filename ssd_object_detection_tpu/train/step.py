@@ -75,8 +75,11 @@ def make_train_step(
 ):
     """Returns train_step(state, batch) -> (state, metrics dict of scalars).
 
-    batch: {"image": (B,S,S,3) float32 in [0,1], "gt_cls": (B,G) int32,
-            "gt_boxes": (B,G,4) relative cxcywh, "gt_valid": (B,G) bool}.
+    batch: {"image": (B,S,S,3) float32 in [0,1] OR uint8 in [0,255], "gt_cls":
+            (B,G) int32, "gt_boxes": (B,G,4) relative cxcywh, "gt_valid": (B,G)
+            bool}. uint8 input is scaled on DEVICE — feeding uint8 cuts the
+            host->device batch transfer 4x (data/packed.py stores uint8 anyway;
+            over the axon tunnel the f32 feed was the training bottleneck).
     """
     anchors = jnp.asarray(anchors)
     use_pallas = cfg.use_pallas_matcher
@@ -84,8 +87,11 @@ def make_train_step(
         use_pallas = default_use_pallas() and jax.device_count() == 1
 
     def loss_for_micro(params, image, gt_cls, gt_boxes, gt_valid) -> Tuple[jnp.ndarray, LossInfo]:
-        # input arrives [0,1] from the pipeline; reference normalizes to [-1,1]
-        # right before batching (models/ssd_model.py:214)
+        # input arrives [0,1] from the pipeline (or raw uint8, scaled here on
+        # device); reference normalizes to [-1,1] right before batching
+        # (models/ssd_model.py:214)
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) / 255.0
         image = (image - 0.5) * 2.0
         t_cls, t_loc, t_mask = build_targets(
             gt_cls, gt_boxes, gt_valid, anchors, thresh=cfg.match_thresh,
@@ -146,10 +152,12 @@ def make_train_step(
 
 
 def make_eval_forward(apply_fn: Callable):
-    """Jitted inference forward on [0,1] images -> (pred_loc, pred_logits)."""
+    """Jitted inference forward on [0,1] (or raw uint8) images -> (loc, logits)."""
 
     @jax.jit
     def forward(params, image):
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) / 255.0
         return apply_fn(params, (image - 0.5) * 2.0)
 
     return forward

@@ -44,10 +44,20 @@ def test_packed_matches_decode_pipeline(mini_coco, packed_dir):  # noqa: F811
                            num_workers=2),
         )
     )[0]
-    packed = list(PackedPipeline(packed_dir, PackedConfig(batch_size=3, shuffle=False)))[0]
+    packed = list(
+        PackedPipeline(packed_dir, PackedConfig(batch_size=3, shuffle=False, as_float=True))
+    )[0]
+    assert packed["image"].dtype == np.float32
     assert np.abs(packed["image"] - live["image"]).max() <= 1.0 / 255.0 + 1e-6
     for k in ("gt_cls", "gt_boxes", "gt_valid", "gt_crowd", "image_id", "orig_size"):
         np.testing.assert_array_equal(packed[k], live[k], err_msg=k)
+
+    # default contract is uint8 (4x less H2D traffic; train step scales on device)
+    packed_u8 = list(PackedPipeline(packed_dir, PackedConfig(batch_size=3, shuffle=False)))[0]
+    assert packed_u8["image"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        packed_u8["image"], np.round(packed["image"] * 255.0).astype(np.uint8)
+    )
 
 
 def test_packed_shuffle_and_epochs(packed_dir):

@@ -112,3 +112,35 @@ def test_clip_by_norm_semantics():
     # big tensor scaled to norm 0.01; tiny tensor untouched (tf.clip_by_norm semantics)
     assert float(jnp.linalg.norm(clipped["a"])) == pytest.approx(0.01, rel=1e-5)
     np.testing.assert_allclose(np.asarray(clipped["b"]), np.asarray(g["b"]), rtol=1e-6)
+
+
+def test_train_step_accepts_uint8_images():
+    """uint8 batches (the packed-cache contract) produce the same step as the
+    equivalent [0,1] float batch — scaling happens on device (4x less H2D)."""
+    import numpy as np
+
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    anchors = generate_anchors(TINY_ANCHORS)
+    tx = make_optimizer("adam", 1e-3)
+    step_fn = make_train_step(model.apply, anchors, tx, StepConfig())
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3), np.uint8)
+    base = {
+        "gt_cls": jnp.asarray(rng.integers(0, 8, (2, 4)).astype(np.int32)),
+        "gt_boxes": jnp.asarray(np.concatenate(
+            [rng.uniform(0.3, 0.7, (2, 4, 2)), rng.uniform(0.1, 0.3, (2, 4, 2))], -1
+        ).astype(np.float32)),
+        "gt_valid": jnp.asarray(np.ones((2, 4), bool)),
+    }
+    s_f32, m_f32 = step_fn(create_train_state(params, tx),
+                           dict(base, image=jnp.asarray(u8.astype(np.float32) / 255.0)))
+    s_u8, m_u8 = step_fn(create_train_state(params, tx),
+                         dict(base, image=jnp.asarray(u8)))
+    # the two inputs trace to DIFFERENT programs, so XLA may fuse the scaling
+    # differently (e.g. u8*(2/255)-1); compare at loss level, not param bits
+    # (Adam's first step is sign(grad)*lr — ulp-level grad noise flips it)
+    assert float(m_f32["loss"]) == pytest.approx(float(m_u8["loss"]), rel=1e-6)
+    assert float(m_f32["num_positive"]) == float(m_u8["num_positive"])
+    assert int(s_u8.step) == int(s_f32.step) == 1

@@ -49,7 +49,17 @@ def make_split(root: str, split: str, n_images: int, seed: int) -> None:
             x = float(rng.uniform(0, w - bw))
             y = float(rng.uniform(0, h - bh))
             cat = int(rng.choice(SPARSE_IDS))
-            color = tuple(int(c) for c in rng.integers(130, 256, 3))
+            # class-DETERMINISTIC color (20 hues x 2 saturations x 2 values = 80
+            # well-separated colors; JPEG noise is ~±5): classes are visually
+            # learnable, so integration runs can gate on trained mAP, not just on
+            # the plumbing surviving
+            idx = SPARSE_IDS.index(cat)
+            hsv = np.uint8([[[
+                (idx % 20) * 9,
+                255 if (idx // 20) % 2 == 0 else 150,
+                255 if idx < 40 else 170,
+            ]]])
+            color = tuple(int(c) for c in cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0])
             cv2.rectangle(img, (int(x), int(y)), (int(x + bw), int(y + bh)), color, -1)
             annotations.append({
                 "id": ann_id, "image_id": image_id, "category_id": cat,
