@@ -1,4 +1,7 @@
-"""Inference throughput sweep: s2d stem on/off x batch size, forward-only vs full predict.
+"""Inference throughput sweep: batch size x (s2d stem | fused uint8 e2e) per variant.
+
+`--fused` sweeps the fully-fused uint8 path (canvas resize + normalize + forward +
+NMS, one jit) — the latency/throughput curve for BASELINE config #2.
 
 Measurement methodology per memory/BASELINE.md: dispatch loop ended by a scalar fetch
 (block_until_ready does not synchronize through the axon tunnel); inputs device-resident.
@@ -32,16 +35,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=str, default="32,64,128")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--variant", type=str, default="ssd300")
+    p.add_argument("--fused", action="store_true",
+                   help="sweep the fused uint8 e2e path instead of the s2d A/B")
     args = p.parse_args()
 
-    from ssd_object_detection_tpu.eval.predict import make_predict_fn
-    from ssd_object_detection_tpu.models.ssd import SSD, SSD300_SPEC_MODEL
+    from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn, make_predict_fn
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
+    from ssd_object_detection_tpu.ops.preprocess import pack_canvas
 
-    anchors = generate_anchors(SSD300_SPEC_MODEL.anchor_spec)
-    m_plain = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16, s2d_stem=False)
-    m_s2d = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16, s2d_stem=True)
-    params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    spec = MODEL_SPECS[args.variant]
+    size = spec.image_size
+    anchors = generate_anchors(spec.anchor_spec)
+    m_plain = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=False)
+    m_s2d = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=True)
+    params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
 
     # warm up the device->host fetch path once (first fetch pays ~45s handshake)
     x0 = jnp.zeros((), jnp.float32) + 1
@@ -50,7 +59,21 @@ def main():
     results = []
     for bs in [int(b) for b in args.batches.split(",")]:
         rng = np.random.default_rng(0)
-        images = jnp.asarray(rng.uniform(0, 1, (bs, 300, 300, 3)).astype(np.float32))
+        if args.fused:
+            fused = make_fused_predict_fn(m_plain.apply, anchors, image_size=size)
+            canvas, sizes = pack_canvas(
+                [rng.integers(0, 256, (480, 640, 3), np.uint8) for _ in range(bs)]
+            )
+            canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+            t = time_fn(lambda: fused(params, canvas, sizes),
+                        lambda o: float(o.scores[0, 0]), iters=args.iters)
+            r = {"variant": args.variant, "batch": bs, "path": "fused_uint8_e2e",
+                 "ms": round(t * 1e3, 2), "img_s": round(bs / t, 1),
+                 "ms_per_image": round(t * 1e3 / bs, 3)}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            continue
+        images = jnp.asarray(rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32))
         for name, model in (("plain", m_plain), ("s2d", m_s2d)):
             fwd = jax.jit(lambda p, x, m=model: m.apply(p, (x - 0.5) * 2.0))
             t_fwd = time_fn(lambda: fwd(params, images), lambda o: float(o[0][0, 0, 0]),
