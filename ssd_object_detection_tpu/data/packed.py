@@ -42,7 +42,19 @@ from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
 
 logger = logging.getLogger(__name__)
 
-_VERSION = 1
+_VERSION = 2  # v2: meta carries index_digest (cache-vs-index identity check)
+
+
+def index_digest(index: CocoIndex) -> str:
+    """Stable fingerprint of WHICH images an index would feed the packer: the
+    sorted ids of records with >= 1 annotation. Robust to decode/fetch failures
+    at pack time (those shrink the packed count but not the index identity), and
+    catches stale caches built from a different index (mini_batch subsets,
+    different dataset_root contents)."""
+    import hashlib
+
+    ids = sorted(r.id for r in index.records if r.boxes.shape[0] > 0)
+    return hashlib.sha1(",".join(map(str, ids)).encode()).hexdigest()
 
 
 def pack_dataset(
@@ -99,7 +111,7 @@ def pack_dataset(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {"count": n, "image_size": s, "max_gt": g, "version": _VERSION,
-             "include_crowd": include_crowd},
+             "include_crowd": include_crowd, "index_digest": index_digest(index)},
             f,
         )
     logger.info("packed %d images (%.1f MB) -> %s", n, n * s * s * 3 / 1e6, out_dir)

@@ -43,10 +43,18 @@ def evaluate_batches(
         params = replicate(params, mesh)
     evaluator = DetectionEvaluator(num_classes=num_classes)
     n = 0
+    warned_fallback = False
     for batch in batches:
         images = batch["image"]
-        if mesh is not None and images.shape[0] % mesh.size == 0:
-            images = shard_batch(images, mesh)
+        if mesh is not None:
+            if images.shape[0] % mesh.size == 0:
+                images = shard_batch(images, mesh)
+            elif not warned_fallback:
+                warned_fallback = True
+                logger.warning(
+                    "batch size %d not divisible by mesh size %d: running such "
+                    "batches on a single device", images.shape[0], mesh.size,
+                )
         det = predict_fn(params, images)
         det_boxes = np.asarray(det.boxes)  # (B, K, 4) relative cxcywh
         det_scores = np.asarray(det.scores)

@@ -240,23 +240,26 @@ class Trainer:
             else:
                 import json as _json
 
+                from ssd_object_detection_tpu.data.packed import index_digest
+
                 with open(os.path.join(d.packed_cache, "meta.json")) as f:
                     meta = _json.load(f)
-                # usable records: the pipeline (and hence the pack) skips images
-                # with zero annotations (reference coco/make_dataset.py:126-127)
-                n_usable = sum(1 for r in index.records if r.boxes.shape[0] > 0)
+                # identity check via the index digest (ids of annotated records),
+                # NOT the packed count: decode/fetch failures legitimately shrink
+                # the count without changing which index the cache belongs to
                 want = {
                     "image_size": self.spec.image_size, "max_gt": d.max_gt,
-                    "count": n_usable, "include_crowd": True,
+                    "include_crowd": True, "index_digest": index_digest(index),
                 }
                 got = {k: meta.get(k) for k in want}
                 if got != want:
                     raise ValueError(
                         f"packed cache {d.packed_cache} does not match this config/"
-                        f"dataset: cache has {got}, config wants {want} (a count "
-                        f"mismatch usually means the cache was built from a "
-                        f"different index, e.g. with mini_batch on/off) — delete "
-                        f"the cache dir or point packed_cache elsewhere"
+                        f"dataset: cache has {got}, config wants {want} (a digest "
+                        f"mismatch means the cache was built from a different "
+                        f"index, e.g. with mini_batch on/off or another "
+                        f"dataset_root; a missing digest means a pre-v2 cache) — "
+                        f"delete the cache dir or point packed_cache elsewhere"
                     )
             return PackedPipeline(
                 d.packed_cache,

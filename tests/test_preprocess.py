@@ -31,7 +31,7 @@ TOL = {"gather": 2.5 / 255.0, "matmul": 3.2 / 255.0}
 @pytest.mark.parametrize("method", ["gather", "matmul"])
 @pytest.mark.parametrize("hw", [(480, 640), (640, 480), (300, 300), (123, 457), (37, 50)])
 def test_resize_matches_cv2(hw, method):
-    rng = np.random.default_rng(hash(hw) % 2**32)
+    rng = np.random.default_rng(hw[0] * 1000 + hw[1])  # deterministic across runs
     img = rng.integers(0, 256, (*hw, 3), np.uint8)
     canvas, sizes = pack_canvas([img], (640, 640))
     got = np.asarray(

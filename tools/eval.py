@@ -43,6 +43,25 @@ def main():
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
 
     cfg = load_config(args.config)
+
+    # validate --data-parallel BEFORE the (slow) model build so misuse fails fast
+    mesh = None
+    if args.data_parallel > 1:
+        from ssd_object_detection_tpu.parallel.mesh import make_mesh
+
+        n = args.data_parallel
+        if n > len(jax.devices()):
+            raise SystemExit(
+                f"--data-parallel {n}: only {len(jax.devices())} devices available"
+            )
+        bs = 8 if cfg.data.dataset == "synthetic" else cfg.model.train.batch_size
+        if bs % n:
+            raise SystemExit(
+                f"--data-parallel {n}: batch size {bs} is not divisible by {n}, "
+                f"every batch would silently fall back to single-device"
+            )
+        mesh = make_mesh(n)
+
     spec = MODEL_SPECS[cfg.model.variant]
     num_classes = cfg.data.num_classes + 1
     dtype = jnp.bfloat16 if cfg.model.precision == "bfloat16" else jnp.float32
@@ -83,12 +102,6 @@ def main():
                 num_workers=cfg.data.num_workers,
             ),
         )
-
-    mesh = None
-    if args.data_parallel > 1:
-        from ssd_object_detection_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(args.data_parallel)
 
     metrics = evaluate_batches(
         predict, params, batches, num_classes=cfg.data.num_classes,

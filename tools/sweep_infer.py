@@ -49,7 +49,11 @@ def main():
     size = spec.image_size
     anchors = generate_anchors(spec.anchor_spec)
     m_plain = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=False)
-    m_s2d = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=True)
+    # the s2d stem is a VGG-conv1 rewrite (ignored by other trunks,
+    # models/ssd.py); only A/B it where it changes the program
+    stems = [("plain", m_plain)]
+    if not args.fused and spec.trunk == "vgg16":
+        stems.append(("s2d", SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=True)))
     params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
 
     # warm up the device->host fetch path once (first fetch pays ~45s handshake)
@@ -74,7 +78,7 @@ def main():
             print(json.dumps(r), flush=True)
             continue
         images = jnp.asarray(rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32))
-        for name, model in (("plain", m_plain), ("s2d", m_s2d)):
+        for name, model in stems:
             fwd = jax.jit(lambda p, x, m=model: m.apply(p, (x - 0.5) * 2.0))
             t_fwd = time_fn(lambda: fwd(params, images), lambda o: float(o[0][0, 0, 0]),
                             iters=args.iters)
