@@ -14,8 +14,9 @@ directly (no extra pool):
 TPU-first design choices:
   - All compute is 3x3/7x7 convolutions with >=64-channel contractions — every FLOP
     lands on the MXU (unlike depthwise-separable backbones, whose depthwise stage is
-    VPU-bound on TPU). At ~1/3 the FLOPs of the VGG trunk this family is the
-    throughput-oriented option.
+    VPU-bound on TPU). At ~1/3 the FLOPs of the VGG trunk this is the family that
+    maximizes accuracy per MXU-FLOP; the MobileNetV2 family (models/mobilenet.py)
+    measured faster still end-to-end simply by having ~20x fewer FLOPs.
   - **GroupNorm instead of BatchNorm.** BatchNorm carries running statistics
     (mutable state) and computes over whatever slice of the batch the executing
     program sees — under gradient accumulation (`split_train`'s lax.scan over

@@ -112,11 +112,23 @@ SSD512_R34_SPEC_MODEL = ModelSpec(
     blocks=((),) + SSD512_SPEC_MODEL.blocks[1:],
 )
 
+# MobileNetV2 backbone family (models/mobilenet.py; SSDLite's trunk with the same
+# stride-1 tap adaptation as R34): 38x38x96 trunk output, shared strided pyramid.
+# Topology breadth for edge/CPU export targets — depthwise convs are VPU-bound on
+# TPU (measured in BASELINE.md); the TPU throughput family remains R34.
+SSD300_MNV2_SPEC_MODEL = ModelSpec(
+    name="ssd300_mnv2",
+    anchor_spec=SSD300_SPEC,
+    trunk="mobilenetv2",
+    blocks=SSD300_R34_SPEC_MODEL.blocks,
+)
+
 MODEL_SPECS = {
     "ssd300": SSD300_SPEC_MODEL,
     "ssd512": SSD512_SPEC_MODEL,
     "ssd300_r34": SSD300_R34_SPEC_MODEL,
     "ssd512_r34": SSD512_R34_SPEC_MODEL,
+    "ssd300_mnv2": SSD300_MNV2_SPEC_MODEL,
 }
 
 
@@ -145,6 +157,11 @@ class SSD(nn.Module):
             # MXU already) so config defaults work across variants
             trunk = nn.remat(ResNet34Trunk) if self.remat else ResNet34Trunk
             x = trunk(dtype=self.dtype, name="resnet")(x)  # 38x38x256: tap-0 resolution
+        elif self.spec.trunk == "mobilenetv2":
+            from ssd_object_detection_tpu.models.mobilenet import MobileNetV2Trunk
+
+            trunk = nn.remat(MobileNetV2Trunk) if self.remat else MobileNetV2Trunk
+            x = trunk(dtype=self.dtype, name="mobilenet")(x)  # 38x38x96 tap
         else:
             trunk = nn.remat(VGG16Trunk) if self.remat else VGG16Trunk
             x = trunk(dtype=self.dtype, s2d_stem=self.s2d_stem, name="vgg")(x)

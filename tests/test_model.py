@@ -209,3 +209,55 @@ def test_ssd512_r34_output_shapes_abstract():
     loc, conf = jax.eval_shape(model.apply, params, x)
     assert loc.shape == (1, 24564, 4)
     assert conf.shape == (1, 24564, 81)
+
+
+# --- MobileNetV2 backbone family (models/mobilenet.py; SSDLite trunk, 38x38 tap) ---
+
+
+@pytest.fixture(scope="module")
+def ssd300_mnv2():
+    from ssd_object_detection_tpu.models import SSD300_MNV2_SPEC_MODEL
+
+    model = SSD(num_classes=81, spec=SSD300_MNV2_SPEC_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    return model, params
+
+
+def test_mnv2_output_shapes(ssd300_mnv2):
+    """Same output contract as SSD300 (shared anchor spec): (B,8732,4)+(B,8732,81)."""
+    model, params = ssd300_mnv2
+    loc, conf = jax.jit(model.apply)(params, jnp.zeros((2, 300, 300, 3)))
+    assert loc.shape == (2, 8732, 4)
+    assert conf.shape == (2, 8732, 81)
+
+
+def test_mnv2_trunk_structure(ssd300_mnv2):
+    """Inverted-residual layout: stem 3x3/2 32ch; 1+2+3+4+3 blocks; depthwise
+    kernels are (3,3,1,mid) grouped convs; the t=1 first stage has no expand."""
+    _, params = ssd300_mnv2
+    p = params["params"]["mobilenet"]
+    assert p["stem"]["kernel"].shape == (3, 3, 3, 32)
+    blocks = [k for k in p if k.startswith("stage")]
+    assert len(blocks) == 1 + 2 + 3 + 4 + 3
+    assert "expand" not in p["stage0_block0"]  # t=1: no expansion conv
+    assert "expand" in p["stage1_block0"]
+    # depthwise: in-channel axis is 1 (feature_group_count == channels)
+    assert p["stage1_block0"]["depthwise"]["kernel"].shape == (3, 3, 1, 16 * 6)
+    assert p["stage4_block2"]["project"]["kernel"].shape == (1, 1, 576, 96)
+
+
+def test_mnv2_forward_finite_and_trains(ssd300_mnv2):
+    from ssd_object_detection_tpu.models import SSD300_MNV2_SPEC_MODEL
+
+    model, params = ssd300_mnv2
+    m_bf16 = SSD(num_classes=81, spec=SSD300_MNV2_SPEC_MODEL, dtype=jnp.bfloat16)
+    loc, conf = jax.jit(m_bf16.apply)(params, jnp.ones((1, 300, 300, 3)) * 0.25)
+    assert np.isfinite(np.asarray(loc)).all() and np.isfinite(np.asarray(conf)).all()
+
+    def loss(p):
+        lo, co = model.apply(p, jnp.ones((1, 300, 300, 3)) * 0.1)
+        return jnp.mean(lo**2) + jnp.mean(co**2)
+
+    g = jax.grad(loss)(params)["params"]["mobilenet"]
+    assert float(jnp.abs(g["stem"]["kernel"]).sum()) > 0.0
+    assert float(jnp.abs(g["stage4_block0"]["depthwise"]["kernel"]).sum()) > 0.0

@@ -47,7 +47,7 @@ def timed_loop(fn, n_iters: int, *args):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--variant", default="ssd300",
-                        choices=("ssd300", "ssd512", "ssd300_r34", "ssd512_r34"))
+                        choices=("ssd300", "ssd512", "ssd300_r34", "ssd512_r34", "ssd300_mnv2"))
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--skip-train", action="store_true")
     args = parser.parse_args()

@@ -32,7 +32,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
     p.add_argument("--gate", type=float, default=0.9)
-    p.add_argument("--variant", type=str, default="ssd300", choices=("ssd300", "ssd300_r34"))
+    p.add_argument("--variant", type=str, default="ssd300", choices=("ssd300", "ssd300_r34", "ssd300_mnv2"))
     args = p.parse_args()
 
     from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
