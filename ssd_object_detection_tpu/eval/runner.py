@@ -7,7 +7,6 @@ from __future__ import annotations
 import logging
 from typing import Dict, Iterable, Optional
 
-import jax
 import numpy as np
 
 from ssd_object_detection_tpu.eval.coco_map import DetectionEvaluator

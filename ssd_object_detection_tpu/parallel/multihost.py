@@ -18,7 +18,7 @@ round-trips before trusting training results.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -38,7 +38,7 @@ from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
 from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
 from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
 from ssd_object_detection_tpu.ops.anchors import generate_anchors
-from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate
 from ssd_object_detection_tpu.train.optim import (
     exponential_decay,
     make_optimizer,

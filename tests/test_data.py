@@ -9,7 +9,7 @@ import pytest
 
 cv2 = pytest.importorskip("cv2")
 
-from ssd_object_detection_tpu.data.coco import COCO_NAMES, CocoIndex, coco_colors, open_split
+from ssd_object_detection_tpu.data.coco import COCO_NAMES, coco_colors, open_split
 from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig, load_and_transform
 
 

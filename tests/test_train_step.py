@@ -7,7 +7,6 @@ mining + loss + clip + accumulation + Adam)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset

@@ -11,7 +11,6 @@ This is a measurement harness, not part of the framework.
 
 import json
 import os
-import sys
 import time
 
 os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
