@@ -124,6 +124,49 @@ def is_packed(path: str) -> bool:
     )
 
 
+def verify_cache(
+    index: CocoIndex,
+    path: str,
+    image_size: int,
+    max_gt: int,
+    include_crowd: bool = True,
+) -> Dict:
+    """Check that an existing packed dir belongs to (index, transform params).
+
+    Raises ValueError on an identity/shape mismatch (digest of the index's
+    annotated-record ids, image_size, max_gt, include_crowd). The packed COUNT is
+    deliberately NOT part of the identity — decode/fetch failures at pack time
+    legitimately shrink it — but a shortfall is loud: if the cache holds fewer
+    samples than the index has annotated records, a warning reports exactly how
+    many are missing (rebuild the cache after fixing the image root to recover
+    them). Returns the parsed meta."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    want = {
+        "image_size": image_size, "max_gt": max_gt,
+        "include_crowd": include_crowd, "index_digest": index_digest(index),
+    }
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"packed cache {path} does not match this config/dataset: cache has "
+            f"{got}, config wants {want} (a digest mismatch means the cache was "
+            f"built from a different index, e.g. with mini_batch on/off or "
+            f"another dataset_root; a missing digest means a pre-v2 cache) — "
+            f"delete the cache dir or point packed_cache elsewhere"
+        )
+    n_annotated = sum(1 for r in index.records if r.boxes.shape[0] > 0)
+    if meta["count"] < n_annotated:
+        logger.warning(
+            "packed cache %s holds %d samples but the index has %d annotated "
+            "records: %d images were dropped at pack time (unreadable files / "
+            "failed fetches — see the pack run's warnings). Training proceeds on "
+            "the packed subset; rebuild the cache to recover the missing images.",
+            path, meta["count"], n_annotated, n_annotated - meta["count"],
+        )
+    return meta
+
+
 @dataclasses.dataclass
 class PackedConfig:
     batch_size: int = 32

@@ -33,8 +33,10 @@ def evaluate_batches(
     data-parallel: params are replicated once and each batch is sharded along axis
     0 — the SAME jitted predict runs, GSPMD partitions it, detections gather back
     identical to single-device (tests/test_parallel.py). Batches whose size does
-    not divide the mesh (e.g. the epoch remainder) fall back to the default device
-    placement; the reference has no multi-device anything (SURVEY.md section 2).
+    not divide the mesh (e.g. the epoch remainder) run REPLICATED — params are
+    already committed to the mesh, so every device computes the full batch
+    redundantly (correct results, no speedup; a warning is logged once). The
+    reference has no multi-device anything (SURVEY.md section 2).
     """
     if mesh is not None:
         from ssd_object_detection_tpu.parallel.mesh import replicate, shard_batch
@@ -51,8 +53,10 @@ def evaluate_batches(
             elif not warned_fallback:
                 warned_fallback = True
                 logger.warning(
-                    "batch size %d not divisible by mesh size %d: running such "
-                    "batches on a single device", images.shape[0], mesh.size,
+                    "batch size %d not divisible by mesh size %d: such batches "
+                    "run replicated (params live on the mesh, so every device "
+                    "computes the full batch redundantly)",
+                    images.shape[0], mesh.size,
                 )
         det = predict_fn(params, images)
         det_boxes = np.asarray(det.boxes)  # (B, K, 4) relative cxcywh

@@ -23,12 +23,13 @@ models/resnet.py docstring); relu6 activations as in the paper.
 TPU-first honesty: depthwise convolutions contract over ONE channel, so they
 cannot use the MXU's 128-wide systolic contraction — they run on the VPU and are
 HBM-bound. The conventional wisdom is therefore "MobileNets don't win on TPU" —
-and the measurement (BASELINE.md round 2) says otherwise AT THIS SCALE: the
-trunk has so few FLOPs (~0.9 GFLOP/img vs R34's ~19 and VGG's ~49) that even at
-poor per-op utilization it is the fastest family end-to-end on v5e (fused
-batch-32 inference 3,509 img/s vs R34's 2,780 and VGG's 1,668; train step ~equal
-to R34 — GroupNorm/backward costs dominate there). Pick by accuracy budget:
-VGG = reference parity, R34 = accuracy-per-watt of MXU FLOPs, MNV2 = latency.
+and the measurement (BASELINE.md round 2, which owns the exact numbers) says
+otherwise AT THIS SCALE: the trunk has so few FLOPs (~0.9 GFLOP/img vs R34's ~19
+and VGG's ~49) that even at poor per-op utilization it is the fastest family
+end-to-end on v5e (fused batch-32 inference ~3.5k img/s vs R34 ~2.8k and VGG
+~1.7k; train step ~equal to R34 — GroupNorm/backward costs dominate there). Pick
+by accuracy budget: VGG = reference parity, R34 = accuracy-per-watt of MXU FLOPs,
+MNV2 = latency/throughput.
 """
 
 from __future__ import annotations

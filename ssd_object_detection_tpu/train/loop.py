@@ -228,7 +228,7 @@ class Trainer:
             # decode-once cache (data/packed.py): pack on first use, then epochs are
             # memmap reads. Pre-resize augmentation needs original pixels -> decode path.
             from ssd_object_detection_tpu.data.packed import (
-                PackedConfig, PackedPipeline, is_packed, pack_dataset,
+                PackedConfig, PackedPipeline, is_packed, pack_dataset, verify_cache,
             )
 
             if not is_packed(d.packed_cache):
@@ -238,29 +238,12 @@ class Trainer:
                     max_gt=d.max_gt, num_workers=d.num_workers,
                 )
             else:
-                import json as _json
-
-                from ssd_object_detection_tpu.data.packed import index_digest
-
-                with open(os.path.join(d.packed_cache, "meta.json")) as f:
-                    meta = _json.load(f)
-                # identity check via the index digest (ids of annotated records),
-                # NOT the packed count: decode/fetch failures legitimately shrink
-                # the count without changing which index the cache belongs to
-                want = {
-                    "image_size": self.spec.image_size, "max_gt": d.max_gt,
-                    "include_crowd": True, "index_digest": index_digest(index),
-                }
-                got = {k: meta.get(k) for k in want}
-                if got != want:
-                    raise ValueError(
-                        f"packed cache {d.packed_cache} does not match this config/"
-                        f"dataset: cache has {got}, config wants {want} (a digest "
-                        f"mismatch means the cache was built from a different "
-                        f"index, e.g. with mini_batch on/off or another "
-                        f"dataset_root; a missing digest means a pre-v2 cache) — "
-                        f"delete the cache dir or point packed_cache elsewhere"
-                    )
+                # identity (index digest + transform params) raises on mismatch;
+                # a pack-time decode-failure shortfall warns (data/packed.py)
+                verify_cache(
+                    index, d.packed_cache,
+                    image_size=self.spec.image_size, max_gt=d.max_gt,
+                )
             return PackedPipeline(
                 d.packed_cache,
                 PackedConfig(

@@ -145,3 +145,37 @@ def test_trainer_uses_packed_cache(mini_coco, tmp_path):  # noqa: F811
     state = trainer.train()
     assert is_packed(cfg.data.packed_cache)  # cache was materialized
     assert int(state.step) == 2  # 3 usable images / bs 3 = 1 step x 2 epochs
+
+
+def test_verify_cache_identity_and_shortfall(mini_coco, packed_dir, caplog):  # noqa: F811
+    """verify_cache: accepts its own index, raises on a different index (digest),
+    and warns — not errors — when the pack dropped images (count shortfall)."""
+    import json
+    import logging
+    import os
+
+    from ssd_object_detection_tpu.data.packed import verify_cache
+
+    index = open_split(mini_coco, "val")
+    meta = verify_cache(index, packed_dir, image_size=64, max_gt=5)
+    assert meta["count"] == 3
+
+    # different index (mini_batch subset) -> digest mismatch -> ValueError
+    sub = open_split(mini_coco, "val", mini_batch=2)
+    with pytest.raises(ValueError, match="digest"):
+        verify_cache(sub, packed_dir, image_size=64, max_gt=5)
+
+    # wrong transform params -> ValueError
+    with pytest.raises(ValueError, match="image_size"):
+        verify_cache(index, packed_dir, image_size=128, max_gt=5)
+
+    # simulate pack-time decode failures: shrink count only -> warning, no raise
+    meta_path = os.path.join(packed_dir, "meta.json")
+    orig = json.load(open(meta_path))
+    try:
+        json.dump(dict(orig, count=1), open(meta_path, "w"))
+        with caplog.at_level(logging.WARNING):
+            verify_cache(index, packed_dir, image_size=64, max_gt=5)
+        assert any("dropped at pack time" in r.message for r in caplog.records)
+    finally:
+        json.dump(orig, open(meta_path, "w"))

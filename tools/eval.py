@@ -43,6 +43,9 @@ def main():
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
 
     cfg = load_config(args.config)
+    # single source for the eval batch size (validated against --data-parallel
+    # below and used to build the pipeline)
+    eval_batch_size = 8 if cfg.data.dataset == "synthetic" else cfg.model.train.batch_size
 
     # validate --data-parallel BEFORE the (slow) model build so misuse fails fast
     mesh = None
@@ -54,11 +57,11 @@ def main():
             raise SystemExit(
                 f"--data-parallel {n}: only {len(jax.devices())} devices available"
             )
-        bs = 8 if cfg.data.dataset == "synthetic" else cfg.model.train.batch_size
-        if bs % n:
+        if eval_batch_size % n:
             raise SystemExit(
-                f"--data-parallel {n}: batch size {bs} is not divisible by {n}, "
-                f"every batch would silently fall back to single-device"
+                f"--data-parallel {n}: batch size {eval_batch_size} is not "
+                f"divisible by {n}, every batch would fall back to replicated "
+                f"single-program execution"
             )
         mesh = make_mesh(n)
 
@@ -86,7 +89,7 @@ def main():
             max_gt=min(cfg.data.max_gt, 8),
             num_classes=min(cfg.data.num_classes, 8),
         )
-        batches = ds.batches(batch_size=8)
+        batches = ds.batches(batch_size=eval_batch_size)
     else:
         index = open_split(
             cfg.data.dataset_root, "val",
@@ -97,7 +100,7 @@ def main():
             PipelineConfig(
                 image_size=spec.image_size,
                 max_gt=cfg.data.max_gt,
-                batch_size=cfg.model.train.batch_size,
+                batch_size=eval_batch_size,
                 shuffle=False,
                 num_workers=cfg.data.num_workers,
             ),
