@@ -123,12 +123,22 @@ SSD300_MNV2_SPEC_MODEL = ModelSpec(
     blocks=SSD300_R34_SPEC_MODEL.blocks,
 )
 
+# SSD512 on the MobileNetV2 trunk: at 512^2 the trunk emits 64x64x96 = SSD512's
+# tap-0 resolution, so the strided pyramid is SSD512's blocks[1:] unchanged.
+SSD512_MNV2_SPEC_MODEL = ModelSpec(
+    name="ssd512_mnv2",
+    anchor_spec=SSD512_SPEC,
+    trunk="mobilenetv2",
+    blocks=((),) + SSD512_SPEC_MODEL.blocks[1:],
+)
+
 MODEL_SPECS = {
     "ssd300": SSD300_SPEC_MODEL,
     "ssd512": SSD512_SPEC_MODEL,
     "ssd300_r34": SSD300_R34_SPEC_MODEL,
     "ssd512_r34": SSD512_R34_SPEC_MODEL,
     "ssd300_mnv2": SSD300_MNV2_SPEC_MODEL,
+    "ssd512_mnv2": SSD512_MNV2_SPEC_MODEL,
 }
 
 

@@ -261,3 +261,16 @@ def test_mnv2_forward_finite_and_trains(ssd300_mnv2):
     g = jax.grad(loss)(params)["params"]["mobilenet"]
     assert float(jnp.abs(g["stem"]["kernel"]).sum()) > 0.0
     assert float(jnp.abs(g["stage4_block0"]["depthwise"]["kernel"]).sum()) > 0.0
+
+
+def test_ssd512_mnv2_output_shapes_abstract():
+    """ssd512_mnv2: trunk emits 64x64x96 = SSD512 tap-0; verified via eval_shape
+    (same rationale as test_ssd512_r34_output_shapes_abstract)."""
+    from ssd_object_detection_tpu.models.ssd import SSD512_MNV2_SPEC_MODEL
+
+    model = SSD(num_classes=81, spec=SSD512_MNV2_SPEC_MODEL)
+    x = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    loc, conf = jax.eval_shape(model.apply, params, x)
+    assert loc.shape == (1, 24564, 4)
+    assert conf.shape == (1, 24564, 81)

@@ -45,15 +45,15 @@ def timed_loop(fn, n_iters: int, *args):
 
 
 def main():
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
+
     parser = argparse.ArgumentParser()
-    parser.add_argument("--variant", default="ssd300",
-                        choices=("ssd300", "ssd512", "ssd300_r34", "ssd512_r34", "ssd300_mnv2"))
+    parser.add_argument("--variant", default="ssd300", choices=tuple(MODEL_SPECS))
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--skip-train", action="store_true")
     args = parser.parse_args()
 
     from ssd_object_detection_tpu.eval.predict import make_predict_fn
-    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
     from ssd_object_detection_tpu.train.optim import make_optimizer
     from ssd_object_detection_tpu.train.step import StepConfig, create_train_state, make_train_step
