@@ -39,7 +39,7 @@ def summarize(trace_dir: str, top: int = 20):
 def main():
     parser = argparse.ArgumentParser(description="profile ssd inference or training")
     parser.add_argument("config", type=str)
-    parser.add_argument("--mode", choices=("infer", "train"), default="infer")
+    parser.add_argument("--mode", choices=("infer", "infer-fused", "train"), default="infer")
     parser.add_argument("--out", type=str, default="/tmp/ssd_xprof")
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=32)
@@ -74,6 +74,23 @@ def main():
         with trace(args.out):
             for _ in range(args.steps):
                 out = predict(params, images)
+            float(out.scores.ravel()[0])
+    elif args.mode == "infer-fused":
+        # the bench.py headline path: uint8 canvas -> resize -> ... -> NMS, one jit
+        from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
+        from ssd_object_detection_tpu.ops.preprocess import pack_canvas
+
+        predict = make_fused_predict_fn(model.apply, anchors, image_size=size)
+        canvas, sizes = pack_canvas(
+            [rng.integers(0, 256, (480, 640, 3), np.uint8)
+             for _ in range(args.batch_size)]
+        )
+        canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+        out = predict(params, canvas, sizes)
+        float(out.scores.ravel()[0])  # warmup + sync
+        with trace(args.out):
+            for _ in range(args.steps):
+                out = predict(params, canvas, sizes)
             float(out.scores.ravel()[0])
     else:
         from ssd_object_detection_tpu.train.optim import make_optimizer
