@@ -238,11 +238,16 @@ class SSDObjectDetectionModel:
         return out
 
     def visualize(self, image01, thresh: float = 0.5, label_names=None, label_colors=None):
-        """Score-threshold qualitative decode (reference models/ssd_model.py:477-490)."""
+        """Score-threshold qualitative decode (reference models/ssd_model.py:477-490).
+
+        The jitted forward is cached on first use (like predict()): constructing a
+        fresh jax.jit per call would recompile — minutes per call on this platform."""
         from ssd_object_detection_tpu.train.step import make_eval_forward
         from ssd_object_detection_tpu.utils.viz import render_predictions
 
-        fwd = make_eval_forward(self._model.apply)
+        fwd = getattr(self, "_visualize_fwd", None)
+        if fwd is None:
+            fwd = self._visualize_fwd = make_eval_forward(self._model.apply)
         loc, logits = fwd(self._params, jnp.asarray(image01)[None])
         return render_predictions(
             np.asarray(image01), np.asarray(loc[0]), np.asarray(logits[0]),

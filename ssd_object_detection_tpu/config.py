@@ -187,6 +187,15 @@ class Config:
                 "batch_size must be divisible by split_train.batch_size"
             )
         assert self.data.dataset in ("coco", "synthetic"), self.data.dataset
+        loss = self.model.loss
+        assert (loss.variance_xy is None) == (loss.variance_wh is None), (
+            "variance_xy and variance_wh must be set together"
+        )
+        if loss.canonical and loss.variances is None:
+            # canonical mode without variances would be a hybrid that is neither
+            # reference-exact nor SSD-paper (smooth-L1 + per-image mining but
+            # reference offset encoding): default the paper's 0.1/0.2.
+            loss.variance_xy, loss.variance_wh = 0.1, 0.2
         return self
 
     def to_dict(self) -> Dict[str, Any]:

@@ -42,19 +42,28 @@ from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
 
 logger = logging.getLogger(__name__)
 
-_VERSION = 2  # v2: meta carries index_digest (cache-vs-index identity check)
+_VERSION = 3  # v3: digest covers annotation CONTENT, not just record ids
 
 
 def index_digest(index: CocoIndex) -> str:
-    """Stable fingerprint of WHICH images an index would feed the packer: the
-    sorted ids of records with >= 1 annotation. Robust to decode/fetch failures
-    at pack time (those shrink the packed count but not the index identity), and
-    catches stale caches built from a different index (mini_batch subsets,
-    different dataset_root contents)."""
+    """Stable fingerprint of WHAT an index would feed the packer: the sorted ids
+    of records with >= 1 annotation AND their annotation contents (labels, boxes,
+    iscrowd). Robust to decode/fetch failures at pack time (those shrink the
+    packed count but not the index identity), and catches stale caches built from
+    a different index — mini_batch subsets, another dataset_root, or the same ids
+    RE-ANNOTATED in place (e.g. tools/make_fake_coco.py re-run with different
+    params), which the id-only v2 digest silently accepted."""
     import hashlib
 
-    ids = sorted(r.id for r in index.records if r.boxes.shape[0] > 0)
-    return hashlib.sha1(",".join(map(str, ids)).encode()).hexdigest()
+    h = hashlib.sha1()
+    for r in sorted(index.records, key=lambda r: r.id):
+        if r.boxes.shape[0] == 0:
+            continue
+        h.update(str(r.id).encode())
+        h.update(np.ascontiguousarray(r.labels.astype(np.int32)).tobytes())
+        h.update(np.ascontiguousarray(r.boxes.astype(np.float32)).tobytes())
+        h.update(np.ascontiguousarray(r.iscrowd.astype(np.uint8)).tobytes())
+    return h.hexdigest()
 
 
 def pack_dataset(
@@ -151,9 +160,10 @@ def verify_cache(
         raise ValueError(
             f"packed cache {path} does not match this config/dataset: cache has "
             f"{got}, config wants {want} (a digest mismatch means the cache was "
-            f"built from a different index, e.g. with mini_batch on/off or "
-            f"another dataset_root; a missing digest means a pre-v2 cache) — "
-            f"delete the cache dir or point packed_cache elsewhere"
+            f"built from a different index — mini_batch on/off, another "
+            f"dataset_root, or the same ids re-annotated in place; a missing "
+            f"digest means a pre-v3 cache) — delete the cache dir or point "
+            f"packed_cache elsewhere"
         )
     n_annotated = sum(1 for r in index.records if r.boxes.shape[0] > 0)
     if meta["count"] < n_annotated:

@@ -162,7 +162,12 @@ class DetectionEvaluator:
             gt_ignore = np.zeros((len(gt_boxes),), bool)
         gt_ignore = np.asarray(gt_ignore).astype(bool)
 
-        order = np.argsort(-det_scores, kind="stable")[: self.max_dets]
+        # Score-sort once, then truncate to max_dets PER (image, class) after the
+        # split — pycocotools' evaluateImg applies maxDets per category (dt[0:maxDet]
+        # on the per-(img, cat) list), not across classes. The built-in predict
+        # paths emit <= 100 detections total so both readings coincide there, but
+        # external callers feeding more now get COCOeval-exact behavior.
+        order = np.argsort(-det_scores, kind="stable")
         det_boxes, det_scores, det_classes = det_boxes[order], det_scores[order], det_classes[order]
 
         classes = set(np.unique(gt_classes).tolist()) | set(np.unique(det_classes).tolist())
@@ -170,7 +175,8 @@ class DetectionEvaluator:
             d_sel = det_classes == c
             g_sel = gt_classes == c
             self._per_class[int(c)].append(_RawImage(
-                det_boxes=det_boxes[d_sel], det_scores=det_scores[d_sel],
+                det_boxes=det_boxes[d_sel][: self.max_dets],
+                det_scores=det_scores[d_sel][: self.max_dets],
                 gt_boxes=gt_boxes[g_sel], gt_crowd=gt_ignore[g_sel],
             ))
 

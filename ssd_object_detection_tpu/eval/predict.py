@@ -122,6 +122,7 @@ def make_fused_predict_fn(
     max_detections: int = 100,
     nms_mode: str = "merged",
     merged_top_k: Optional[int] = None,
+    resize_method: str = "matmul",
 ) -> Callable:
     """Fully fused inference (BASELINE.json config #2): the host does only JPEG
     decode; resize, normalization, forward, softmax, decode, and NMS are ONE jit.
@@ -131,6 +132,11 @@ def make_fused_predict_fn(
     (build both with ops/preprocess.pack_canvas). Replaces the reference's host
     cv2.resize + /255 + (x-0.5)*2 chain (data_loaders/ssd/make_dataset.py:37-46,
     models/ssd_model.py:214) with on-device ops (ops/preprocess.py).
+
+    `resize_method`: "matmul" (default; MXU, ~3x faster, bf16 weight rounding
+    bounded by ~1.5/255 per pixel) or "gather" (exact f32 arithmetic) — see
+    ops/preprocess.resize_bilinear_planar. Callers needing bit-stable exports can
+    opt into "gather" without editing library code.
     """
     from ssd_object_detection_tpu.ops.preprocess import normalize01, resize_bilinear_planar
 
@@ -138,7 +144,7 @@ def make_fused_predict_fn(
 
     @jax.jit
     def predict(params, canvas_u8, sizes) -> Detections:
-        images01 = resize_bilinear_planar(canvas_u8, sizes, image_size)
+        images01 = resize_bilinear_planar(canvas_u8, sizes, image_size, method=resize_method)
         pred_loc, pred_logits = apply_fn(params, normalize01(images01))
         return detect_from_logits(
             pred_loc, pred_logits, anchors,

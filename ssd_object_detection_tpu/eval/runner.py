@@ -33,38 +33,44 @@ def evaluate_batches(
     data-parallel: params are replicated once and each batch is sharded along axis
     0 — the SAME jitted predict runs, GSPMD partitions it, detections gather back
     identical to single-device (tests/test_parallel.py). Batches whose size does
-    not divide the mesh (e.g. the epoch remainder) run REPLICATED — params are
-    already committed to the mesh, so every device computes the full batch
-    redundantly (correct results, no speedup; a warning is logged once). The
-    reference has no multi-device anything (SURVEY.md section 2).
+    not divide the mesh (e.g. the epoch remainder) are PADDED with zero images up
+    to the steady-state batch size when one has been seen (reusing the already
+    compiled program) or the next mesh multiple otherwise, sharded, and the
+    padding's detections sliced off — exact results, no N-times-redundant
+    replicated compute on the tail batch. The reference has no multi-device
+    anything (SURVEY.md section 2).
     """
+    steady_batch = None  # first mesh-divisible batch size seen (compile reuse)
     if mesh is not None:
-        from ssd_object_detection_tpu.parallel.mesh import replicate, shard_batch
+        from ssd_object_detection_tpu.parallel.mesh import replicate
 
         params = replicate(params, mesh)
     evaluator = DetectionEvaluator(num_classes=num_classes)
     n = 0
-    warned_fallback = False
     for batch in batches:
         images = batch["image"]
+        true_b = images.shape[0]
         if mesh is not None:
-            if images.shape[0] % mesh.size == 0:
-                images = shard_batch(images, mesh)
-            elif not warned_fallback:
-                warned_fallback = True
-                logger.warning(
-                    "batch size %d not divisible by mesh size %d: such batches "
-                    "run replicated (params live on the mesh, so every device "
-                    "computes the full batch redundantly)",
-                    images.shape[0], mesh.size,
-                )
-        det = predict_fn(params, images)
-        det_boxes = np.asarray(det.boxes)  # (B, K, 4) relative cxcywh
-        det_scores = np.asarray(det.scores)
-        det_classes = np.asarray(det.classes)
-        det_valid = np.asarray(det.valid)
+            from ssd_object_detection_tpu.parallel.mesh import shard_batch
 
-        batch_size = det_boxes.shape[0]
+            if true_b % mesh.size != 0:
+                if steady_batch is not None and steady_batch > true_b:
+                    pad_to = steady_batch
+                else:
+                    pad_to = ((true_b + mesh.size - 1) // mesh.size) * mesh.size
+                images = np.asarray(images)
+                pad = np.zeros((pad_to - true_b,) + images.shape[1:], images.dtype)
+                images = np.concatenate([images, pad], axis=0)
+            elif steady_batch is None:
+                steady_batch = true_b
+            images = shard_batch(images, mesh)
+        det = predict_fn(params, images)
+        det_boxes = np.asarray(det.boxes)[:true_b]  # (B, K, 4) relative cxcywh
+        det_scores = np.asarray(det.scores)[:true_b]
+        det_classes = np.asarray(det.classes)[:true_b]
+        det_valid = np.asarray(det.valid)[:true_b]
+
+        batch_size = true_b
         for b in range(batch_size):
             if "orig_size" in batch:
                 h, w = (int(x) for x in batch["orig_size"][b])

@@ -70,7 +70,11 @@ def export_fused_detector(
     """Serialize the FUSED serving contract (BASELINE config #2): the artifact takes
     a planar uint8 canvas (B, 3, Hc, Wc) + per-image (h, w) sizes and performs
     on-device resize -> normalize -> forward -> decode -> NMS. A serving process
-    keeps only JPEG decode + ops/preprocess.pack_canvas on the host."""
+    keeps only JPEG decode + ops/preprocess.pack_canvas on the host.
+
+    Extra kwargs reach make_fused_predict_fn, so exports can pin NMS knobs or opt
+    into the exact-arithmetic resize (resize_method="gather") for bit-stable
+    artifact reproducibility without editing library code."""
     from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
 
     predict = make_fused_predict_fn(

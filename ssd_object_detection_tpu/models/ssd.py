@@ -172,6 +172,18 @@ class SSD(nn.Module):
 
             trunk = nn.remat(MobileNetV2Trunk) if self.remat else MobileNetV2Trunk
             x = trunk(dtype=self.dtype, name="mobilenet")(x)  # 38x38x96 tap
+        elif self.spec.trunk == "micro":
+            # Dryrun/CI-scale stem: two strided convs -> image/4 resolution. Not a
+            # product variant — exists so the driver's multi-chip dry run and tests
+            # compile in seconds on a 1-vCPU host while exercising the identical
+            # pyramid/head/matching/loss/sharding paths (round-2 lesson: a VGG trunk
+            # in the dryrun model multiplied XLA compile time past the gate timeout).
+            for i, ch in enumerate((32, 64)):
+                x = nn.Conv(
+                    ch, kernel_size=(3, 3), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32, name=f"micro_conv{i}",
+                )(x)
+                x = nn.relu(x)
         else:
             trunk = nn.remat(VGG16Trunk) if self.remat else VGG16Trunk
             x = trunk(dtype=self.dtype, s2d_stem=self.s2d_stem, name="vgg")(x)

@@ -113,7 +113,7 @@ def match_anchors(
     return MatchResult(cls=matched_cls, box=matched_box, mask=mask, gt_index=anchor_gt)
 
 
-@partial(jax.jit, static_argnames=("thresh", "use_pallas"))
+@partial(jax.jit, static_argnames=("thresh", "use_pallas", "mesh", "interpret"))
 def build_targets(
     gt_cls: jnp.ndarray,
     gt_boxes: jnp.ndarray,
@@ -122,6 +122,8 @@ def build_targets(
     thresh: float = 0.5,
     variances=None,
     use_pallas: bool = False,
+    mesh=None,
+    interpret: bool = False,
 ):
     """Batched match + encode: the device-side replacement for the reference's
     get_train_set target builder (models/ssd_model.py:209-227).
@@ -133,6 +135,13 @@ def build_targets(
     4x faster at max_gt=100 on v5e, identical assignments; use
     `default_use_pallas()` to pick it automatically on TPU backends.
 
+    `mesh` (with use_pallas): GSPMD cannot auto-partition `pallas_call`, so under a
+    multi-device mesh the kernel is wrapped in `jax.shard_map` over the mesh's
+    FIRST axis (the batch/data axis) — every batch row is independent through the
+    whole matcher, so each device runs the kernel on its local batch shard and the
+    results concatenate exactly. `interpret` runs the kernel in interpreter mode
+    (CPU tests).
+
     Mirroring the reference (models/ssd_model.py:213), the encoder runs over ALL
     anchors including unmatched ones (whose target box is 0); the loss masks them.
     """
@@ -143,7 +152,25 @@ def build_targets(
     if use_pallas:
         from ssd_object_detection_tpu.ops.pallas_matcher import match_anchors_pallas
 
-        matched = match_anchors_pallas(gt_cls, gt_boxes, gt_valid, anchors, thresh)
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            matched = jax.shard_map(
+                lambda c, b, v, a: match_anchors_pallas(
+                    c, b, v, a, thresh, interpret=interpret
+                ),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P()),
+                out_specs=MatchResult(
+                    cls=P(axis), box=P(axis), mask=P(axis), gt_index=P(axis)
+                ),
+                check_vma=False,  # pallas_call has no replication rule
+            )(gt_cls, gt_boxes, gt_valid, anchors)
+        else:
+            matched = match_anchors_pallas(
+                gt_cls, gt_boxes, gt_valid, anchors, thresh, interpret=interpret
+            )
     else:
         matched = jax.vmap(lambda c, b, v: match_anchors(c, b, v, anchors, thresh))(
             gt_cls, gt_boxes, gt_valid

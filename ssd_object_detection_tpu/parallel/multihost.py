@@ -7,12 +7,13 @@ global arrays from per-host shards. These helpers cover that; they are exercised
 single-process mode by tests (multi-host hardware is not available in this
 environment — the code paths degrade to no-ops at process_count()==1).
 
-CAVEAT — UNVALIDATED AT SCALE: `host_shard_range` and `make_global_batch` have NEVER
-executed at process_count() > 1 (no multi-host hardware here). The logic follows the
-standard jax multi-process recipe (disjoint per-host data shards +
-make_array_from_process_local_data), but treat a first pod run as a validation run:
-check that per-host shard ranges are disjoint/covering and that the global batch
-round-trips before trusting training results.
+Validated at process_count() == 2:
+tests/test_parallel.py::test_multihost_two_process_dp_step launches two REAL
+processes (jax.distributed.initialize over a local coordinator, 4 virtual CPU
+devices each), asserts the host shards are disjoint and covering, assembles the
+global batch with make_global_batch, and checks the one-step DP loss equals the
+single-process 8-device run. Multi-host TPU pods reuse exactly these code paths;
+only the transport (DCN vs localhost gRPC) differs.
 """
 
 from __future__ import annotations

@@ -132,8 +132,31 @@ class Trainer:
             donate_state=True,  # states are linear through the loop; saves HBM
         )
         self.step_cfg = step_cfg
-        self.main_step = make_train_step(self.model.apply, self.anchors, self.main_tx, step_cfg)
-        self.warmup_step = make_train_step(self.model.apply, self.anchors, self.warmup_tx, step_cfg)
+
+        # data-parallel mesh BEFORE the step fns: the step needs the mesh so the
+        # Pallas matcher can run under it via shard_map (ops/matching.build_targets).
+        # Explicit device count must divide the batch; auto mode (data_parallel: 0)
+        # uses the most devices that do.
+        n_dp = self.cfg.parallel.data_parallel
+        if n_dp:
+            n_dp = min(n_dp, jax.device_count())
+            assert tr.batch_size % n_dp == 0, (
+                f"batch_size {tr.batch_size} must divide over {n_dp} devices"
+            )
+        else:
+            n_dp = jax.device_count()
+            while tr.batch_size % n_dp:
+                n_dp -= 1
+        self.mesh = make_mesh(n_dp) if n_dp > 1 else None
+        if self.mesh is not None:
+            logger.info("data-parallel over %d devices", n_dp)
+
+        self.main_step = make_train_step(
+            self.model.apply, self.anchors, self.main_tx, step_cfg, mesh=self.mesh
+        )
+        self.warmup_step = make_train_step(
+            self.model.apply, self.anchors, self.warmup_tx, step_cfg, mesh=self.mesh
+        )
 
         # init params (optionally from an imported Keras VGG16 .h5 trunk)
         params = self.model.init(
@@ -149,22 +172,6 @@ class Trainer:
 
             params = load_vgg16_trunk_into(params, mc.pretrained_vgg)
         self.params = params
-
-        # data-parallel mesh: explicit device count must divide the batch; auto mode
-        # (data_parallel: 0) uses the most devices that do
-        n_dp = self.cfg.parallel.data_parallel
-        if n_dp:
-            n_dp = min(n_dp, jax.device_count())
-            assert tr.batch_size % n_dp == 0, (
-                f"batch_size {tr.batch_size} must divide over {n_dp} devices"
-            )
-        else:
-            n_dp = jax.device_count()
-            while tr.batch_size % n_dp:
-                n_dp -= 1
-        self.mesh = make_mesh(n_dp) if n_dp > 1 else None
-        if self.mesh is not None:
-            logger.info("data-parallel over %d devices", n_dp)
 
         self._train_source = None
         self._tb = None
@@ -224,6 +231,14 @@ class Trainer:
             d.dataset_root, "train",
             mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
         )
+        if d.packed_cache and (d.augment.expand or d.augment.crop or d.augment.photometric):
+            logger.warning(
+                "data.packed_cache=%r is IGNORED because expand/crop/photometric "
+                "augmentation needs original-resolution pixels: training routes "
+                "through the (much slower) JPEG-decode pipeline. Disable those "
+                "augmentations to use the cache (flip composes with it).",
+                d.packed_cache,
+            )
         if d.packed_cache and not (d.augment.expand or d.augment.crop or d.augment.photometric):
             # decode-once cache (data/packed.py): pack on first use, then epochs are
             # memmap reads. Pre-resize augmentation needs original pixels -> decode path.

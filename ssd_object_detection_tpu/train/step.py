@@ -53,10 +53,12 @@ class StepConfig:
     variances: Optional[Tuple[float, float]] = None
     clip_norm: float = 0.01  # reference models/ssd_model.py:249
     accum_steps: int = 1  # split_train: batch_size // split_batch_size
-    # None = auto: the Pallas matcher kernel on single-chip TPU, the XLA matcher on
-    # CPU and under multi-chip meshes (GSPMD cannot auto-partition pallas_call; the
-    # XLA matcher shards trivially over the batch)
+    # None = auto: the Pallas matcher kernel on TPU (single-chip directly; under a
+    # mesh via jax.shard_map over the batch axis — see ops/matching.build_targets),
+    # the XLA matcher on CPU/GPU
     use_pallas_matcher: Optional[bool] = None
+    # interpreter-mode pallas (CPU tests of the mesh path)
+    pallas_interpret: bool = False
     # donate the TrainState buffers to the step (params + opt state are consumed and
     # rewritten every step; donation avoids a full copy). Off by default because
     # donated states cannot be reused by the caller (e.g. test fixtures).
@@ -72,6 +74,7 @@ def make_train_step(
     anchors: jnp.ndarray,
     tx: optax.GradientTransformation,
     cfg: StepConfig = StepConfig(),
+    mesh=None,
 ):
     """Returns train_step(state, batch) -> (state, metrics dict of scalars).
 
@@ -80,11 +83,16 @@ def make_train_step(
             bool}. uint8 input is scaled on DEVICE — feeding uint8 cuts the
             host->device batch transfer 4x (data/packed.py stores uint8 anyway;
             over the axon tunnel the f32 feed was the training bottleneck).
+
+    `mesh`: the data-parallel mesh the step will run under, if any. Needed only so
+    the Pallas matcher can be kept under multi-chip training (shard_map over the
+    batch axis, ops/matching.build_targets); everything else shards via GSPMD
+    without knowing the mesh.
     """
     anchors = jnp.asarray(anchors)
     use_pallas = cfg.use_pallas_matcher
     if use_pallas is None:
-        use_pallas = default_use_pallas() and jax.device_count() == 1
+        use_pallas = default_use_pallas()
 
     def loss_for_micro(params, image, gt_cls, gt_boxes, gt_valid) -> Tuple[jnp.ndarray, LossInfo]:
         # input arrives [0,1] from the pipeline (or raw uint8, scaled here on
@@ -96,6 +104,7 @@ def make_train_step(
         t_cls, t_loc, t_mask = build_targets(
             gt_cls, gt_boxes, gt_valid, anchors, thresh=cfg.match_thresh,
             variances=cfg.variances, use_pallas=use_pallas,
+            mesh=mesh if use_pallas else None, interpret=cfg.pallas_interpret,
         )
         pred_loc, pred_logits = apply_fn(params, image)
         info = multibox_loss(

@@ -70,6 +70,73 @@ def test_pallas_nonaligned_anchor_count():
         np.testing.assert_array_equal(np.asarray(got.gt_index[b]), np.asarray(want.gt_index))
 
 
+def test_pallas_under_mesh_matches_xla():
+    """build_targets(mesh=...) wraps the kernel in jax.shard_map over the batch
+    axis (GSPMD cannot partition pallas_call): the 8-way-sharded result must be
+    bit-equal to the unsharded XLA matcher path."""
+    from ssd_object_detection_tpu.ops.matching import build_targets
+    from ssd_object_detection_tpu.parallel.mesh import make_mesh, shard_batch
+
+    gt_cls, gt_boxes, gt_valid, anchors = _random_case(11, batch=8)
+    want = build_targets(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), use_pallas=False,
+    )
+    mesh = make_mesh(8)
+    args = shard_batch(
+        (jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid)), mesh
+    )
+    got = build_targets(
+        *args, jnp.asarray(anchors), use_pallas=True, mesh=mesh, interpret=True
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_dp_train_step_with_pallas_matcher_matches_xla():
+    """Round-3 VERDICT item 4: the full DP train step with the Pallas matcher
+    (shard_map, interpret mode) produces the same loss/params as the XLA-matcher
+    step on the same 8-device mesh."""
+    from ssd_object_detection_tpu.models.ssd import SSD
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+    from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from ssd_object_detection_tpu.train.optim import make_optimizer
+    from ssd_object_detection_tpu.train.step import (
+        StepConfig, create_train_state, make_train_step,
+    )
+    from tests.test_train_step import NUM_CLASSES, TINY_ANCHORS, TINY_MODEL
+    from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
+
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    anchors = generate_anchors(TINY_ANCHORS)
+    tx = make_optimizer("adam", 1e-3)
+    state = create_train_state(params, tx)
+    ds = SyntheticDetectionDataset(num_images=8, image_size=64, max_gt=4, num_classes=8, seed=3)
+    batch = next(ds.batches(batch_size=8))
+
+    mesh = make_mesh(8)
+    dp_state = replicate(state, mesh)
+    sharded = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+
+    step_xla = make_train_step(
+        model.apply, anchors, tx, StepConfig(use_pallas_matcher=False), mesh=mesh
+    )
+    step_pl = make_train_step(
+        model.apply, anchors, tx,
+        StepConfig(use_pallas_matcher=True, pallas_interpret=True), mesh=mesh,
+    )
+    s1, m1 = step_xla(dp_state, sharded)
+    s2, m2 = step_pl(dp_state, sharded)
+    # the matcher TARGETS are bit-equal (test_pallas_under_mesh_matches_xla); the
+    # end-to-end step compiles to a different XLA program (shard_map boundary), so
+    # grad reductions may differ in the last ulp — tolerances cover exactly that
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    assert float(m1["num_positive"]) == float(m2["num_positive"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+
+
 def test_chunked_kernel_matches_xla_at_ssd512_scale():
     """Anchor counts that trigger the kernel's column-chunked passes (>12 MB for
     three full (G, D) planes) must still produce identical assignments."""

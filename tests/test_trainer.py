@@ -158,6 +158,27 @@ model:
     assert cfg.model.train.optimizer.epsilon == pytest.approx(1e-7)
 
 
+def test_canonical_loss_config_defaults_variances():
+    """Round-3 VERDICT item 7: validate() closes the canonical-without-variances
+    hybrid (smooth-L1 + per-image mining but reference encoding) by defaulting the
+    SSD-paper 0.1/0.2; partial variance pairs are rejected; reference mode stays
+    variance-free."""
+    from ssd_object_detection_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.loss.canonical = True
+    cfg.validate()
+    assert cfg.model.loss.variances == (0.1, 0.2)
+
+    cfg2 = Config()
+    cfg2.model.loss.variance_xy = 0.1  # wh missing
+    with pytest.raises(AssertionError):
+        cfg2.validate()
+
+    cfg3 = Config().validate()
+    assert cfg3.model.loss.variances is None
+
+
 def test_repo_configs_load():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name in ("default.yml", "synthetic.yml"):

@@ -27,7 +27,8 @@ SPARSE_IDS = [i for i in range(1, 91) if i not in
               (12, 26, 29, 30, 45, 66, 68, 69, 71, 83)]
 
 
-def make_split(root: str, split: str, n_images: int, seed: int) -> None:
+def make_split(root: str, split: str, n_images: int, seed: int,
+               classes_used: int = 80, grayscale: bool = True) -> None:
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -48,7 +49,7 @@ def make_split(root: str, split: str, n_images: int, seed: int) -> None:
             bh = float(rng.uniform(0.1, 0.5) * h)
             x = float(rng.uniform(0, w - bw))
             y = float(rng.uniform(0, h - bh))
-            cat = int(rng.choice(SPARSE_IDS))
+            cat = int(rng.choice(SPARSE_IDS[:classes_used]))
             # class-DETERMINISTIC color (20 hues x 2 saturations x 2 values = 80
             # well-separated colors; JPEG noise is ~±5): classes are visually
             # learnable, so integration runs can gate on trained mAP, not just on
@@ -69,7 +70,7 @@ def make_split(root: str, split: str, n_images: int, seed: int) -> None:
             })
             ann_id += 1
         name = f"{image_id:012d}.jpg"
-        if i % 37 == 0:  # a few grayscale files (reference handles 2-D images)
+        if grayscale and i % 37 == 0:  # a few grayscale files (reference handles 2-D images)
             cv2.imwrite(os.path.join(img_dir, name), img.mean(-1).astype(np.uint8))
         else:
             cv2.imwrite(os.path.join(img_dir, name), img)
@@ -97,9 +98,16 @@ def main():
     p.add_argument("--root", type=str, required=True)
     p.add_argument("--train", type=int, default=512)
     p.add_argument("--val", type=int, default=128)
+    # parity runs (tools/train_reference.py) use a small class subset so both
+    # stacks can learn the color signal within a CPU-trainable budget; grayscale
+    # JPEGs (which destroy that signal) can be disabled for the same reason
+    p.add_argument("--classes-used", type=int, default=80)
+    p.add_argument("--no-grayscale", action="store_true")
     args = p.parse_args()
-    make_split(args.root, "train", args.train, seed=1)
-    make_split(args.root, "val", args.val, seed=2)
+    make_split(args.root, "train", args.train, seed=1,
+               classes_used=args.classes_used, grayscale=not args.no_grayscale)
+    make_split(args.root, "val", args.val, seed=2,
+               classes_used=args.classes_used, grayscale=not args.no_grayscale)
 
 
 if __name__ == "__main__":
