@@ -6,6 +6,20 @@ decode + class-aware NMS in one jit (BASELINE.json config #2 as written: the hos
 keeps only JPEG decode), batch 32, bfloat16 compute. Round 1 benchmarked pre-resized
 float tensors; this measures strictly more work per image.
 
+Round-3 configuration (each measured, BASELINE.md):
+  - PIPELINE=16 batches per dispatch (jax.lax.map): through the axon tunnel each jit
+    call costs ~4 ms of host dispatch that the device spends idle; production
+    serving keeps multiple batches in flight, so the harness does too. The model
+    still executes at batch 32 — per-image compute is unchanged.
+  - conf logits stay bf16 through the ranking stage (SSD conf_f32=False): the f32
+    output cast added no information (heads compute in bf16) but doubled the HBM
+    traffic of every pass over the (32, 8732, 81) tensor; ranking casts to f32
+    inside its fused reductions, so pool selection is bit-identical.
+  - nms_mode="merged_top2": per-anchor top-2 class candidates ahead of the global
+    top-256 — kills the (32, 32000) top-k custom-call (1.11 ms -> ~0.3). Identical
+    detections unless one anchor confidently detects 3+ overlapping objects of
+    different classes (ops/nms.py; mAP-parity evidence in EVAL_SYNTHETIC.json).
+
 vs_baseline: the reference publishes NO numbers (BASELINE.md); the driver's north star
 is ">5x A100 images/sec/chip for SSD300 inference". We anchor against 2000 img/s — an
 estimate of optimized A100 SSD300-VGG16 fp16 batch-32 inference throughput (NVIDIA's
@@ -28,8 +42,9 @@ import numpy as np
 A100_SSD300_INFER_IMG_PER_SEC = 2000.0
 
 BATCH = 32
-WARMUP_ITERS = 5
-BENCH_ITERS = 30
+PIPELINE = 16  # batches in flight per dispatch
+WARMUP_ITERS = 3
+BENCH_ITERS = 4  # dispatches; BENCH_ITERS * PIPELINE batches total
 
 
 def main():
@@ -38,31 +53,40 @@ def main():
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
     from ssd_object_detection_tpu.ops.preprocess import pack_canvas
 
-    model = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16)
+    model = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16,
+                conf_f32=False)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
     anchors = generate_anchors(SSD300_SPEC_MODEL.anchor_spec)
-    predict = make_fused_predict_fn(model.apply, anchors)
+    predict = make_fused_predict_fn(model.apply, anchors, nms_mode="merged_top2")
 
-    # COCO-shaped inputs: 480x640 uint8 images in a 640x640 planar canvas
+    # COCO-shaped inputs: 480x640 uint8 images in a 640x640 planar canvas,
+    # PIPELINE distinct batches.
     rng = np.random.default_rng(0)
-    canvas, sizes = pack_canvas(
-        [rng.integers(0, 256, (480, 640, 3), np.uint8) for _ in range(BATCH)]
-    )
-    canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
+    packed = [
+        pack_canvas([rng.integers(0, 256, (480, 640, 3), np.uint8)
+                     for _ in range(BATCH)])
+        for _ in range(PIPELINE)
+    ]
+    canvases = jnp.stack([jnp.asarray(c) for c, _ in packed])  # (P, B, 3, Hc, Wc)
+    sizes = jnp.stack([jnp.asarray(s) for _, s in packed])  # (P, B, 2)
+
+    @jax.jit
+    def predict_pipelined(params, canvases, sizes):
+        return jax.lax.map(lambda cs: predict(params, cs[0], cs[1]), (canvases, sizes))
 
     # Timing methodology: on the axon-tunneled TPU, jax.block_until_ready does NOT
     # synchronize; a device->host scalar fetch does (first fetch pays a one-time
     # ~45s handshake, subsequent fetches ~28ms). Warm up compile + fetch path, then
     # time a dispatch loop ended by one scalar fetch.
     for _ in range(WARMUP_ITERS):
-        det = predict(params, canvas, sizes)
-    float(det.scores[0, 0])  # true sync incl. one-time handshake
+        det = predict_pipelined(params, canvases, sizes)
+    float(det.scores[0, 0, 0])  # true sync incl. one-time handshake
 
     t0 = time.perf_counter()
     for _ in range(BENCH_ITERS):
-        det = predict(params, canvas, sizes)
-    float(det.scores[0, 0])  # true sync
-    dt = (time.perf_counter() - t0) / BENCH_ITERS
+        det = predict_pipelined(params, canvases, sizes)
+    float(det.scores[0, 0, 0])  # true sync
+    dt = (time.perf_counter() - t0) / (BENCH_ITERS * PIPELINE)
 
     images_per_sec = BATCH / dt
     print(json.dumps({

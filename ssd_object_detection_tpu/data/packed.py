@@ -100,7 +100,8 @@ def pack_dataset(
     n = 0
     with open(img_path, "wb") as f:
         for sample in pipe._samples():
-            u8 = np.round(sample["image"] * 255.0).astype(np.uint8)
+            img = sample["image"]
+            u8 = img if img.dtype == np.uint8 else np.round(img * 255.0).astype(np.uint8)
             f.write(np.ascontiguousarray(u8).tobytes())
             gt_cls[n] = sample["gt_cls"]
             gt_boxes[n] = sample["gt_boxes"]

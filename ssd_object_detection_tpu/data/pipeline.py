@@ -139,8 +139,16 @@ def load_and_transform(index: CocoIndex, rec: ImageRecord, cfg: PipelineConfig) 
     gt_boxes[:n], gt_cls[:n], gt_valid[:n] = cxcywh[:n], labels[:n], True
     gt_crowd[:n] = crowd[:n]
 
+    # Emit uint8: over the axon tunnel a float32 batch costs 4x the transfer of
+    # uint8 (2.5-4 s/step vs ~0.2 measured, BASELINE.md) and both the train step
+    # and the predict fns scale uint8 -> [0,1] on device. The quantization here is
+    # the SAME np.round(x*255) the packed cache applies (data/packed.py), so the
+    # decode path and the packed path now feed bit-identical pixels; internal
+    # augmentation math stays float32 at original resolution.
+    image_u8 = np.clip(np.round(image * 255.0), 0.0, 255.0).astype(np.uint8)
+
     return {
-        "image": image,
+        "image": image_u8,
         "gt_cls": gt_cls,
         "gt_boxes": gt_boxes,
         "gt_valid": gt_valid,

@@ -38,7 +38,9 @@ def detect_from_logits(
     pre_nms_top_k: int = 400,
     top_k_per_class: int = 100,
     max_detections: int = 100,
-    nms_mode: str = "merged",  # "merged" (fast, torchvision-style) | "per_class"
+    # "merged" (fast, torchvision-style) | "merged_top2" (merged with per-anchor
+    # top-2 class candidates — cheapest; see ops/nms.nms_on_pool_merged) | "per_class"
+    nms_mode: str = "merged",
     merged_top_k: Optional[int] = None,  # merged mode's global pool; None = auto
 ) -> Detections:
     """Fused decode: logits -> Detections, heavy work restricted to the candidate pool.
@@ -48,13 +50,27 @@ def detect_from_logits(
     batch, num_anchors, num_ch = pred_logits.shape
 
     # Stage 1 in logit space: rank anchors by max foreground probability.
-    lse = jax.nn.logsumexp(pred_logits, axis=-1)  # (B, D)
-    fg_max = jnp.max(pred_logits[..., :-1], axis=-1)  # (B, D)
+    # When the model keeps the logits bf16 (SSD conf_f32=False) all three passes
+    # over the (B, D, C) tensor read it at HALF the HBM traffic, yet the ranking
+    # key is bit-identical to the f32-output model:
+    #   - both max reductions are pure comparisons (exact in any dtype; casting
+    #     the reduced scalar afterwards equals reducing over casts),
+    #   - the logsumexp shift/exp/sum arithmetic runs in f32 via a cast INSIDE the
+    #     fused exp-sum pass (one consumer -> XLA fuses it; `logsumexp(x.astype(f32))`
+    #     instead measured a materialized 143 MB f32 copy of the tensor, because the
+    #     cast gets CSE'd once it feeds 2+ reduce consumers).
+    amax = jnp.max(pred_logits, axis=-1)  # (B, D), exact in bf16
+    shifted = pred_logits.astype(jnp.float32) - amax.astype(jnp.float32)[..., None]
+    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1)) + amax.astype(jnp.float32)
+    fg_max = jnp.max(pred_logits[..., :-1], axis=-1).astype(jnp.float32)  # (B, D)
     n_pool = min(pre_nms_top_k, num_anchors)
     _, pool_idx = jax.lax.top_k(fg_max - lse, n_pool)  # (B, N)
 
-    # Pooled softmax + decode (N anchors only).
-    pool_logits = jnp.take_along_axis(pred_logits, pool_idx[..., None], axis=1)  # (B, N, C)
+    # Pooled softmax + decode (N anchors only; the gather reads the logits in their
+    # stored dtype, softmax runs f32 on the small pooled tensor).
+    pool_logits = jnp.take_along_axis(
+        pred_logits, pool_idx[..., None], axis=1
+    ).astype(jnp.float32)  # (B, N, C)
     pool_probs = jax.nn.softmax(pool_logits, axis=-1)[..., :-1]  # strip background
     pool_probs = jnp.where(pool_probs >= score_thresh, pool_probs, 0.0)
     pool_loc = jnp.take_along_axis(pred_loc, pool_idx[..., None], axis=1)
@@ -62,11 +78,12 @@ def detect_from_logits(
     pool_boxes = box_ops.decode_boxes(pool_loc, pool_anchors, variances=variances)
 
     # Stages 2-4: shared pooled-candidate core (ops/nms.py).
-    if nms_mode == "merged":
+    if nms_mode in ("merged", "merged_top2"):
         return nms_on_pool_merged(
             pool_boxes, pool_probs,
             iou_thresh=iou_thresh, merged_top_k=merged_top_k,
             max_detections=max_detections,
+            per_anchor_top2=(nms_mode == "merged_top2"),
         )
     return nms_on_pool(
         pool_boxes, pool_probs,
@@ -98,6 +115,8 @@ def make_predict_fn(
 
     @jax.jit
     def predict(params, images01) -> Detections:
+        if images01.dtype == jnp.uint8:  # device-side scaling, 4x less H2D
+            images01 = images01.astype(jnp.float32) / 255.0
         pred_loc, pred_logits = apply_fn(params, (images01 - 0.5) * 2.0)
         return detect_from_logits(
             pred_loc, pred_logits, anchors,

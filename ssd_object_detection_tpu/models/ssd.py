@@ -156,6 +156,14 @@ class SSD(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     s2d_stem: bool = False  # MXU-friendly conv1 (numerically identical; models/vgg.py)
+    # False keeps conf logits in the COMPUTE dtype (e.g. bf16) instead of casting the
+    # (B, D, C) tensor up to f32 at the output. The f32 cast adds no information (the
+    # head convs already computed in `dtype`), but it doubles the HBM traffic of every
+    # downstream pass over the logits — the inference ranking stage reads this tensor
+    # 2-3x (eval/predict.detect_from_logits), which casts to f32 INSIDE its fused
+    # reductions, so detection results are bit-identical either way. Default True
+    # preserves the reference-parity API (f32 outputs) for training/eval/import paths.
+    conf_f32: bool = True
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
@@ -225,5 +233,7 @@ class SSD(nn.Module):
             confs.append(conf.reshape(conf.shape[0], -1, self.num_classes))
 
         loc_out = jnp.concatenate(locs, axis=1).astype(jnp.float32)
-        conf_out = jnp.concatenate(confs, axis=1).astype(jnp.float32)
+        conf_out = jnp.concatenate(confs, axis=1)
+        if self.conf_f32:
+            conf_out = conf_out.astype(jnp.float32)
         return loc_out, conf_out

@@ -190,6 +190,7 @@ def nms_on_pool_merged(
     iou_thresh: float = 0.45,
     merged_top_k: Optional[int] = None,
     max_detections: int = 100,
+    per_anchor_top2: bool = False,
 ) -> Detections:
     """Merged-candidate class-aware NMS (the torchvision/detectron decode shape):
     ONE global top-M over all (anchor, class) pairs, then a single class-masked
@@ -208,11 +209,46 @@ def nms_on_pool_merged(
     batch, n_pool, num_classes = pool_scores.shape
     if merged_top_k is None:
         merged_top_k = max(256, (max_detections * 256) // 100)
-    m = min(merged_top_k, n_pool * num_classes)
 
-    # one global top-M over (anchor, class) pairs; flat index = anchor * C + class
-    flat = pool_scores.reshape(batch, n_pool * num_classes)
-    top_scores, flat_idx = jax.lax.top_k(flat, m)  # (B, M)
+    if per_anchor_top2:
+        # `per_anchor_top2` restricts each anchor to its TWO best classes before the
+        # global top-M — the (B, N*C) top-k custom-call is the single most expensive
+        # non-conv op of the fused predict (1.11 ms of 18.3 at batch 32, v5e; its
+        # input is only 4 MB — the cost is the 32000-wide sort, not bandwidth), and
+        # an 80-class row sort (on the 128-lane axis) + a (B, 2N) top-k measures
+        # 0.86 ms standalone vs 1.70. Results differ from the exhaustive candidate
+        # set only when 3+ classes OF THE SAME ANCHOR belong in the global top-M —
+        # i.e. one anchor box confidently detecting 3 overlapping objects of
+        # different classes, pathological in practice (verified: identical
+        # detections on trained-model score distributions, tests/test_nms.py).
+        m = min(merged_top_k, 2 * n_pool)
+        # top-2-of-C via two max/argmax passes instead of a row sort: exact (argmax
+        # breaks ties at the lowest class index, matching a stable ascending-index
+        # sort) and two cheap reductions instead of an O(C log C) sort network —
+        # 0.24 ms -> ~0.05 standalone at (32, 400, 80). Masking the winner with 0.0
+        # is safe: scores are post-threshold probabilities (sub-threshold already
+        # zeroed) and zero-score candidates are dropped by the `top_scores > 0`
+        # validity check below, so a masked runner-up at 0.0 is indistinguishable
+        # from a genuinely empty one.
+        cls_iota = jnp.arange(num_classes, dtype=jnp.int32)[None, None]  # (1, 1, C)
+        c1 = jnp.argmax(pool_scores, axis=-1).astype(jnp.int32)  # (B, N)
+        s1 = jnp.max(pool_scores, axis=-1)
+        masked = jnp.where(cls_iota == c1[..., None], 0.0, pool_scores)
+        c2 = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        s2 = jnp.max(masked, axis=-1)
+        t2_scores = jnp.stack([s1, s2], axis=-1)  # (B, N, 2)
+        t2_cls = jnp.stack([c1, c2], axis=-1)
+        anchor_iota = jnp.broadcast_to(
+            jnp.arange(n_pool, dtype=jnp.int32)[None, :, None], t2_cls.shape
+        )
+        flat_idx_all = (anchor_iota * num_classes + t2_cls).reshape(batch, 2 * n_pool)
+        top_scores, pos = jax.lax.top_k(t2_scores.reshape(batch, 2 * n_pool), m)
+        flat_idx = jnp.take_along_axis(flat_idx_all, pos, axis=1)
+    else:
+        # one global top-M over (anchor, class) pairs; flat index = anchor * C + class
+        m = min(merged_top_k, n_pool * num_classes)
+        flat = pool_scores.reshape(batch, n_pool * num_classes)
+        top_scores, flat_idx = jax.lax.top_k(flat, m)  # (B, M)
     cand_pool = flat_idx // num_classes
     cand_class = flat_idx % num_classes
 

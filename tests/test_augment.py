@@ -92,7 +92,9 @@ def test_pipeline_integration(tmp_path):
     sample = load_and_transform(index, index.records[0], cfg)
     assert sample is not None
     assert sample["image"].shape == (64, 64, 3)
-    assert 0.0 <= sample["image"].min() and sample["image"].max() <= 1.0
+    # pipeline boundary contract is uint8 (data/pipeline.py quantizes once at the
+    # end; augmentation math ran in float32 before that)
+    assert sample["image"].dtype == np.uint8
     v = sample["gt_valid"]
     assert v.any()
     b = sample["gt_boxes"][v]

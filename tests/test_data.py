@@ -83,8 +83,9 @@ def test_load_and_transform(mini_coco):
     cfg = PipelineConfig(image_size=300, max_gt=10, batch_size=2)
     sample = load_and_transform(index, index.records[0], cfg)
     assert sample["image"].shape == (300, 300, 3)
-    assert sample["image"].dtype == np.float32
-    assert 0.0 <= sample["image"].min() and sample["image"].max() <= 1.0
+    # uint8 at the pipeline boundary: 4x less H2D; the train step / predict fns
+    # scale on device, and the quantization matches data/packed.py exactly
+    assert sample["image"].dtype == np.uint8
     assert sample["gt_valid"].sum() == 2
     # first box: bbox [0,0,53,40] in a 160x120 image -> cxcywh relative
     np.testing.assert_allclose(

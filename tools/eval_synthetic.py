@@ -33,6 +33,12 @@ def main():
     p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
     p.add_argument("--gate", type=float, default=0.9)
     p.add_argument("--variant", type=str, default="ssd300", choices=("ssd300", "ssd300_r34", "ssd300_mnv2"))
+    p.add_argument(
+        "--canonical", action="store_true",
+        help="train+decode in canonical SSD-paper mode (smooth-L1, per-image mining, "
+        "0.1/0.2 encoding variances) instead of reference-exact mode — the convergence "
+        "gate for config loss.canonical=true (VERDICT round-2 item 7)",
+    )
     args = p.parse_args()
 
     from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
@@ -78,6 +84,9 @@ def main():
     train = materialize(train_ds)
     val = materialize(val_ds)
 
+    variances = (0.1, 0.2) if args.canonical else None
+    step_cfg = StepConfig(canonical_loss=args.canonical, variances=variances)
+
     spec = MODEL_SPECS[args.variant]
     model = SSD(num_classes=num_classes + 1, spec=spec, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
@@ -100,7 +109,7 @@ def main():
     t0 = time.time()
     # warmup phase with its own optimizer (reference two-optimizer warmup semantics)
     wu_tx = make_optimizer("adam", polynomial_decay(1e-6, args.warmup, args.lr))
-    wu_step_fn = make_train_step(model.apply, anchors, wu_tx, StepConfig())
+    wu_step_fn = make_train_step(model.apply, anchors, wu_tx, step_cfg)
 
     @jax.jit
     def wu_step(state, i):
@@ -112,7 +121,7 @@ def main():
     print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
 
     tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
-    step_fn = make_train_step(model.apply, anchors, tx, StepConfig())
+    step_fn = make_train_step(model.apply, anchors, tx, step_cfg)
 
     @jax.jit
     def step(state, i):
@@ -126,7 +135,7 @@ def main():
     train_secs = time.time() - t0
 
     # evaluate the held-out split with the production predict path + full evaluator
-    predict = make_predict_fn(model.apply, anchors, score_thresh=0.05)
+    predict = make_predict_fn(model.apply, anchors, variances=variances, score_thresh=0.05)
     evaluator = DetectionEvaluator(num_classes=num_classes)
     for b0 in range(0, args.num_val, bs):
         n = min(bs, args.num_val - b0)
@@ -149,7 +158,7 @@ def main():
 
     result = {
         "dataset": "synthetic (hermetic; data/synthetic.py)",
-        "model": f"{args.variant} bf16",
+        "model": f"{args.variant} bf16" + (" (canonical loss/encoding)" if args.canonical else ""),
         "train": {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
                   "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)},
         "val_images": args.num_val,

@@ -157,7 +157,10 @@ def main():
             jnp.asarray(batch["gt_cls"]), jnp.asarray(batch["gt_boxes"]),
             jnp.asarray(batch["gt_valid"]),
         )
-        image = (np.asarray(batch["image"], np.float32) - 0.5) * 2.0
+        image = np.asarray(batch["image"], np.float32)
+        if batch["image"].dtype == np.uint8:  # pipeline emits uint8 (data/pipeline.py)
+            image = image / 255.0
+        image = (image - 0.5) * 2.0
         return (tf.constant(image), tf.constant(np.asarray(t_cls)),
                 tf.constant(np.asarray(t_loc)), tf.constant(np.asarray(t_mask)))
 
@@ -182,7 +185,16 @@ def main():
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
 
     if args.save_weights:
-        model.save_weights(args.save_weights)
+        # Keras 3 requires the `.weights.h5` suffix; never let a save error throw
+        # away a multi-hour CPU training run before the eval below (it did once:
+        # round 3, 90 minutes)
+        path = args.save_weights
+        if not path.endswith(".weights.h5"):
+            path = path.removesuffix(".h5") + ".weights.h5"
+        try:
+            model.save_weights(path)
+        except Exception as e:  # pragma: no cover
+            print(f"save_weights failed (continuing to eval): {e}", flush=True)
 
     # ---- evaluate through OUR decode + NMS + evaluator (same params as tools/eval.py)
     jit_decode = jax.jit(
@@ -190,7 +202,10 @@ def main():
     )
 
     def ref_predict(_params, images01):
-        x = (np.asarray(images01, np.float32) - 0.5) * 2.0
+        x = np.asarray(images01, np.float32)
+        if images01.dtype == np.uint8:  # the pipeline emits uint8 (data/pipeline.py)
+            x = x / 255.0
+        x = (x - 0.5) * 2.0
         loc, conf = model(tf.constant(x), training=False)
         return jit_decode(jnp.asarray(loc.numpy()), jnp.asarray(conf.numpy()))
 
