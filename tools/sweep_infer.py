@@ -38,6 +38,9 @@ def main():
     p.add_argument("--variant", type=str, default="ssd300")
     p.add_argument("--fused", action="store_true",
                    help="sweep the fused uint8 e2e path instead of the s2d A/B")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="bench.py's round-3 decode config: bf16 conf logits "
+                   "(conf_f32=False) + nms_mode=merged_top2 (only affects --fused)")
     args = p.parse_args()
 
     from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn, make_predict_fn
@@ -48,7 +51,8 @@ def main():
     spec = MODEL_SPECS[args.variant]
     size = spec.image_size
     anchors = generate_anchors(spec.anchor_spec)
-    m_plain = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=False)
+    m_plain = SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=False,
+                  conf_f32=not args.fast_decode)
     # the s2d stem is a VGG-conv1 rewrite (ignored by other trunks,
     # models/ssd.py); only A/B it where it changes the program
     stems = [("plain", m_plain)]
@@ -64,14 +68,18 @@ def main():
     for bs in [int(b) for b in args.batches.split(",")]:
         rng = np.random.default_rng(0)
         if args.fused:
-            fused = make_fused_predict_fn(m_plain.apply, anchors, image_size=size)
+            fused = make_fused_predict_fn(
+                m_plain.apply, anchors, image_size=size,
+                nms_mode="merged_top2" if args.fast_decode else "merged",
+            )
             canvas, sizes = pack_canvas(
                 [rng.integers(0, 256, (480, 640, 3), np.uint8) for _ in range(bs)]
             )
             canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
             t = time_fn(lambda: fused(params, canvas, sizes),
                         lambda o: float(o.scores[0, 0]), iters=args.iters)
-            r = {"variant": args.variant, "batch": bs, "path": "fused_uint8_e2e",
+            r = {"variant": args.variant, "batch": bs,
+                 "path": "fused_uint8_e2e" + ("_fast" if args.fast_decode else ""),
                  "ms": round(t * 1e3, 2), "img_s": round(bs / t, 1),
                  "ms_per_image": round(t * 1e3 / bs, 3)}
             results.append(r)
