@@ -5,4 +5,4 @@ models/ssd_model.py:173-194) with vectorized, jit-compatible XLA ops that run on
 inside the training/inference step with no host round-trips.
 """
 
-from ssd_object_detection_tpu.ops import anchors, boxes, matching, nms  # noqa: F401
+from ssd_object_detection_tpu.ops import anchors, boxes, matching, nms, quant  # noqa: F401

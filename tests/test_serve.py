@@ -31,6 +31,44 @@ def test_export_reload_matches_live_predict():
     np.testing.assert_allclose(np.asarray(served.boxes), np.asarray(live.boxes), rtol=1e-4, atol=1e-6)
 
 
+def test_ptq_export_reload_matches_live_quantized_predict():
+    """The int8 PTQ path (ops/quant.py) exports through the same StableHLO
+    serving contract: export_detector(q_apply, q_params) round-trips bit-stable
+    vs the live quantized predict."""
+    from ssd_object_detection_tpu.models.ssd import ModelSpec
+    from ssd_object_detection_tpu.ops.anchors import AnchorSpec
+    from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+    anchor_spec = AnchorSpec(
+        image_size=64, feature_sizes=((16, 16), (8, 8)),
+        scale_refs=(13, 26, 52), aspect_ratios=((2,), (2,)),
+    )
+    spec = ModelSpec(
+        name="q_serve", anchor_spec=anchor_spec, trunk="micro",
+        blocks=(((160, 3, 1, "SAME"),), ((192, 3, 2, "SAME"),)),
+    )
+    model = SSD(num_classes=9, spec=spec)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    anchors = generate_anchors(anchor_spec)
+
+    q_apply, q_params = quantize_ssd(model, params, [x], min_in_ch=128)
+    assert q_params["quant"], "calibration found no eligible conv"
+
+    blob = export_detector(q_apply, q_params, anchors, batch_size=2, image_size=64,
+                           score_thresh=0.05)
+    detect = load_detector(blob)
+    images = (x + 1.0) / 2.0  # serving contract: [0,1] images
+    served = detect(images)
+    live = make_predict_fn(q_apply, anchors, score_thresh=0.05)(q_params, images)
+    np.testing.assert_array_equal(np.asarray(served.classes), np.asarray(live.classes))
+    np.testing.assert_allclose(np.asarray(served.scores), np.asarray(live.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(served.boxes), np.asarray(live.boxes),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_export_reload_matches_live_fused_predict():
     """The fused uint8 serving contract (canvas + sizes in, detections out)
     round-trips through serialize/deserialize identically to the live path."""

@@ -39,6 +39,16 @@ def main():
         "0.1/0.2 encoding variances) instead of reference-exact mode — the convergence "
         "gate for config loss.canonical=true (VERDICT round-2 item 7)",
     )
+    p.add_argument(
+        "--ptq", action="store_true",
+        help="additionally evaluate the SAME trained weights through the int8 "
+        "post-training-quantized path (ops/quant.py) and report both mAPs — the "
+        "accuracy gate for the serving PTQ subsystem",
+    )
+    p.add_argument(
+        "--ptq-max-drop", type=float, default=0.02,
+        help="max allowed absolute mAP@0.5 drop float->int8 for the PTQ gate",
+    )
     args = p.parse_args()
 
     from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
@@ -135,26 +145,47 @@ def main():
     train_secs = time.time() - t0
 
     # evaluate the held-out split with the production predict path + full evaluator
+    def run_eval(predict_fn, eval_params):
+        evaluator = DetectionEvaluator(num_classes=num_classes)
+        for b0 in range(0, args.num_val, bs):
+            n = min(bs, args.num_val - b0)
+            imgs = val["image_u8"][b0 : b0 + n].astype(jnp.float32) / 255.0
+            det = predict_fn(eval_params, imgs)
+            scale = np.array([300.0, 300.0, 300.0, 300.0], np.float32)
+            for b in range(n):
+                keep = np.asarray(det.valid[b])
+                d_xyxy = np.asarray(box_ops.cxcywh_to_xyxy(det.boxes[b][keep] * scale))
+                gv = np.asarray(val["gt_valid"][b0 + b])
+                g_xyxy = np.asarray(
+                    box_ops.cxcywh_to_xyxy(np.asarray(val["gt_boxes"][b0 + b])[gv] * scale)
+                )
+                evaluator.add_image(
+                    det_boxes=d_xyxy, det_scores=np.asarray(det.scores[b])[keep],
+                    det_classes=np.asarray(det.classes[b])[keep],
+                    gt_boxes=g_xyxy, gt_classes=np.asarray(val["gt_cls"][b0 + b])[gv],
+                )
+        return evaluator.summarize()
+
     predict = make_predict_fn(model.apply, anchors, variances=variances, score_thresh=0.05)
-    evaluator = DetectionEvaluator(num_classes=num_classes)
-    for b0 in range(0, args.num_val, bs):
-        n = min(bs, args.num_val - b0)
-        imgs = val["image_u8"][b0 : b0 + n].astype(jnp.float32) / 255.0
-        det = predict(state.params, imgs)
-        scale = np.array([300.0, 300.0, 300.0, 300.0], np.float32)
-        for b in range(n):
-            keep = np.asarray(det.valid[b])
-            d_xyxy = np.asarray(box_ops.cxcywh_to_xyxy(det.boxes[b][keep] * scale))
-            gv = np.asarray(val["gt_valid"][b0 + b])
-            g_xyxy = np.asarray(
-                box_ops.cxcywh_to_xyxy(np.asarray(val["gt_boxes"][b0 + b])[gv] * scale)
-            )
-            evaluator.add_image(
-                det_boxes=d_xyxy, det_scores=np.asarray(det.scores[b])[keep],
-                det_classes=np.asarray(det.classes[b])[keep],
-                gt_boxes=g_xyxy, gt_classes=np.asarray(val["gt_cls"][b0 + b])[gv],
-            )
-    metrics = evaluator.summarize()
+    metrics = run_eval(predict, state.params)
+
+    ptq_metrics = None
+    if args.ptq:
+        from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+        # calibrate on TRAIN batches normalized exactly as predict feeds the model
+        calib = [
+            (train["image_u8"][i * bs : (i + 1) * bs].astype(jnp.float32) / 255.0 - 0.5)
+            * 2.0
+            for i in range(min(4, n_batches))
+        ]
+        q_apply, q_params = quantize_ssd(model, state.params, calib)
+        print(f"ptq: quantized {len(q_params['quant'])} convs: "
+              f"{sorted(q_params['quant'])}", flush=True)
+        q_predict = make_predict_fn(q_apply, anchors, variances=variances, score_thresh=0.05)
+        ptq_metrics = run_eval(q_predict, q_params)
+        print(f"ptq: float mAP@0.5 {metrics['mAP@0.5']:.4f} -> int8 "
+              f"{ptq_metrics['mAP@0.5']:.4f}", flush=True)
 
     result = {
         "dataset": "synthetic (hermetic; data/synthetic.py)",
@@ -167,6 +198,15 @@ def main():
         "pass": bool(metrics["mAP@0.5"] > args.gate),
         "device": str(jax.devices()[0]),
     }
+    if ptq_metrics is not None:
+        drop = float(metrics["mAP@0.5"]) - float(ptq_metrics["mAP@0.5"])
+        result["ptq"] = {
+            "metrics": {k: round(float(v), 4) for k, v in ptq_metrics.items()},
+            "mAP50_drop_vs_float": round(drop, 4),
+            "gate": f"drop <= {args.ptq_max_drop}",
+            "pass": bool(drop <= args.ptq_max_drop),
+        }
+        result["pass"] = bool(result["pass"] and result["ptq"]["pass"])
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2), flush=True)

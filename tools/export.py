@@ -21,6 +21,49 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _calibration_batches(cfg, spec, n_batches, batch_size):
+    """Model-input calibration batches ((x-0.5)*2-normalized) from the config's
+    val split; synthetic data when the config uses the synthetic dataset."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = []
+    if cfg.data.dataset == "synthetic":
+        from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
+
+        ds = SyntheticDetectionDataset(
+            num_images=n_batches * batch_size, image_size=spec.image_size,
+            max_gt=min(cfg.data.max_gt, 8), num_classes=min(cfg.data.num_classes, 8),
+        )
+        for batch in ds.batches(batch_size=batch_size):
+            img = np.asarray(batch["image"], np.float32)
+            if img.dtype == np.uint8 or img.max() > 1.5:
+                img = img / 255.0
+            out.append(jnp.asarray((img - 0.5) * 2.0))
+            if len(out) >= n_batches:
+                break
+    else:
+        from ssd_object_detection_tpu.data.coco import open_split
+        from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
+
+        index = open_split(cfg.data.dataset_root, "val",
+                           mini_batch=n_batches * batch_size)
+        pipe = CocoPipeline(index, PipelineConfig(
+            image_size=spec.image_size, max_gt=cfg.data.max_gt,
+            batch_size=batch_size, shuffle=False, num_workers=cfg.data.num_workers,
+        ))
+        for batch in pipe:
+            img = np.asarray(batch["image"]).astype(np.float32)
+            if batch["image"].dtype == np.uint8:
+                img = img / 255.0
+            out.append(jnp.asarray((img - 0.5) * 2.0))
+            if len(out) >= n_batches:
+                break
+    if not out:
+        raise SystemExit("--ptq: no calibration batches available from the dataset")
+    return out
+
+
 def main():
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description="export ssd detector for serving")
@@ -34,6 +77,11 @@ def main():
                         help="fused uint8 contract: detect(canvas_u8, sizes)")
     parser.add_argument("--canvas", type=int, nargs=2, default=(640, 640),
                         metavar=("HC", "WC"), help="canvas extents for --fused")
+    parser.add_argument("--ptq", action="store_true",
+                        help="int8-quantize the MXU-eligible convs (ops/quant.py) "
+                        "before export; calibrates on --calib-batches val batches "
+                        "from the config's dataset")
+    parser.add_argument("--calib-batches", type=int, default=4)
     args = parser.parse_args()
 
     import jax
@@ -54,6 +102,15 @@ def main():
         with open(args.weights, "rb") as f:
             params = serialization.from_bytes(params, f.read())
 
+    apply_fn, export_params = model.apply, params
+    if args.ptq:
+        from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+        calib = _calibration_batches(cfg, spec, args.calib_batches, args.batch_size)
+        apply_fn, export_params = quantize_ssd(model, params, calib)
+        logging.info("ptq: quantized %d convs: %s",
+                     len(export_params["quant"]), sorted(export_params["quant"]))
+
     common = dict(
         batch_size=args.batch_size, image_size=spec.image_size,
         variances=cfg.model.loss.variances,
@@ -62,12 +119,12 @@ def main():
     )
     if args.fused:
         blob = export_fused_detector(
-            model.apply, params, generate_anchors(spec.anchor_spec),
+            apply_fn, export_params, generate_anchors(spec.anchor_spec),
             canvas_hw=tuple(args.canvas), **common,
         )
     else:
         blob = export_detector(
-            model.apply, params, generate_anchors(spec.anchor_spec), **common,
+            apply_fn, export_params, generate_anchors(spec.anchor_spec), **common,
         )
     with open(args.out, "wb") as f:
         f.write(blob)
