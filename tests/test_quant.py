@@ -141,6 +141,56 @@ def test_int8_conv_exact_on_grid(micro):
     )
 
 
+def test_quantized_predict_under_dp_mesh_matches_single_device(micro):
+    """The int8 serving path shards like any apply_fn: quantized predict over a
+    batch-sharded input on the 8-device mesh returns detections identical to
+    single-device (q_params replicate as a plain pytree — the int8 path is
+    per-image, so DP cannot change any value)."""
+    from ssd_object_detection_tpu.eval.predict import make_predict_fn
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+    from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    model, params, x = micro
+    q_apply, q_params = quantize_ssd(model, params, [x], min_in_ch=128)
+    anchors = generate_anchors(model.spec.anchor_spec)
+    predict = make_predict_fn(q_apply, anchors, pre_nms_top_k=50)
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+    det1 = predict(q_params, images)
+
+    mesh = make_mesh(8)
+    det8 = predict(replicate(q_params, mesh), shard_batch(images, mesh))
+    for a, b in zip(det1, det8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantized_path_through_evaluate_batches(micro):
+    """tools/eval.py --ptq drives eval/runner.evaluate_batches with the quantized
+    (predict_fn, q_params) pair — the runner must treat q_params as opaque."""
+    from ssd_object_detection_tpu.eval.predict import make_predict_fn
+    from ssd_object_detection_tpu.eval.runner import evaluate_batches
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+
+    model, params, x = micro
+    q_apply, q_params = quantize_ssd(model, params, [x], min_in_ch=128)
+    anchors = generate_anchors(model.spec.anchor_spec)
+    predict = make_predict_fn(q_apply, anchors, pre_nms_top_k=50)
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "image": rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32),
+        "gt_cls": rng.integers(0, 8, (4, 3)).astype(np.int32),
+        "gt_boxes": np.concatenate(
+            [rng.uniform(0.3, 0.7, (4, 3, 2)), rng.uniform(0.1, 0.2, (4, 3, 2))],
+            axis=-1).astype(np.float32),
+        "gt_valid": np.ones((4, 3), bool),
+        "orig_size": np.full((4, 2), 64, np.int32),
+    }
+    metrics = evaluate_batches(predict, q_params, [batch], num_classes=8)
+    assert np.isfinite(metrics["mAP@0.5"])
+
+
 def test_quantized_apply_is_jit_and_predict_compatible(micro):
     """q_apply works as the apply_fn of the production predict path."""
     from ssd_object_detection_tpu.eval.predict import make_predict_fn

@@ -29,6 +29,14 @@ def main():
         help="shard inference over the first N local devices (0 = single device); "
         "batch_size should be a multiple of N",
     )
+    parser.add_argument(
+        "--ptq", action="store_true",
+        help="evaluate through the int8 serving path (ops/quant.py), calibrating "
+        "on --calib-batches val batches — measures the deployment mAP",
+    )
+    parser.add_argument("--calib-batches", type=int, default=4)
+    parser.add_argument("--ptq-heads", action="store_true",
+                        help="with --ptq: also quantize the loc/conf head convs")
     args = parser.parse_args()
 
     from flax import serialization
@@ -74,8 +82,21 @@ def main():
         with open(args.weights, "rb") as f:
             params = serialization.from_bytes(params, f.read())
 
+    apply_fn, run_params = model.apply, params
+    if args.ptq:
+        from tools.export import _calibration_batches
+
+        from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+        calib = _calibration_batches(cfg, spec, args.calib_batches,
+                                     cfg.model.train.batch_size)
+        apply_fn, run_params = quantize_ssd(model, params, calib,
+                                            include_heads=args.ptq_heads)
+        logging.info("ptq: quantized %d convs", len(run_params["quant"]))
+    params = run_params
+
     predict = make_predict_fn(
-        model.apply,
+        apply_fn,
         generate_anchors(spec.anchor_spec),
         variances=cfg.model.loss.variances,
         iou_thresh=args.iou_thresh,

@@ -169,7 +169,7 @@ def main():
     predict = make_predict_fn(model.apply, anchors, variances=variances, score_thresh=0.05)
     metrics = run_eval(predict, state.params)
 
-    ptq_metrics = None
+    ptq_results = {}  # key -> metrics dict; "ptq" = selective, "ptq_heads" = + head convs
     if args.ptq:
         from ssd_object_detection_tpu.ops.quant import quantize_ssd
 
@@ -179,13 +179,22 @@ def main():
             * 2.0
             for i in range(min(4, n_batches))
         ]
-        q_apply, q_params = quantize_ssd(model, state.params, calib)
-        print(f"ptq: quantized {len(q_params['quant'])} convs: "
-              f"{sorted(q_params['quant'])}", flush=True)
-        q_predict = make_predict_fn(q_apply, anchors, variances=variances, score_thresh=0.05)
-        ptq_metrics = run_eval(q_predict, q_params)
-        print(f"ptq: float mAP@0.5 {metrics['mAP@0.5']:.4f} -> int8 "
-              f"{ptq_metrics['mAP@0.5']:.4f}", flush=True)
+        # Two variants from the SAME trained weights: the selective default
+        # (heads stay float) and heads-on (loc/conf head convs quantize too —
+        # measured ~9% faster at batch 32, BASELINE.md round 3; this is its
+        # accuracy gate).
+        for key, include_heads in (("ptq", False), ("ptq_heads", True)):
+            q_apply, q_params = quantize_ssd(
+                model, state.params, calib, include_heads=include_heads
+            )
+            print(f"{key}: quantized {len(q_params['quant'])} convs: "
+                  f"{sorted(q_params['quant'])}", flush=True)
+            q_predict = make_predict_fn(
+                q_apply, anchors, variances=variances, score_thresh=0.05
+            )
+            ptq_results[key] = run_eval(q_predict, q_params)
+            print(f"{key}: float mAP@0.5 {metrics['mAP@0.5']:.4f} -> int8 "
+                  f"{ptq_results[key]['mAP@0.5']:.4f}", flush=True)
 
     result = {
         "dataset": "synthetic (hermetic; data/synthetic.py)",
@@ -198,15 +207,15 @@ def main():
         "pass": bool(metrics["mAP@0.5"] > args.gate),
         "device": str(jax.devices()[0]),
     }
-    if ptq_metrics is not None:
+    for key, ptq_metrics in ptq_results.items():
         drop = float(metrics["mAP@0.5"]) - float(ptq_metrics["mAP@0.5"])
-        result["ptq"] = {
+        result[key] = {
             "metrics": {k: round(float(v), 4) for k, v in ptq_metrics.items()},
             "mAP50_drop_vs_float": round(drop, 4),
             "gate": f"drop <= {args.ptq_max_drop}",
             "pass": bool(drop <= args.ptq_max_drop),
         }
-        result["pass"] = bool(result["pass"] and result["ptq"]["pass"])
+        result["pass"] = bool(result["pass"] and result[key]["pass"])
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2), flush=True)

@@ -82,6 +82,10 @@ def main():
                         "before export; calibrates on --calib-batches val batches "
                         "from the config's dataset")
     parser.add_argument("--calib-batches", type=int, default=4)
+    parser.add_argument("--ptq-heads", action="store_true",
+                        help="with --ptq: also quantize the loc/conf head convs "
+                        "(~9%% faster at batch 32; accuracy gate "
+                        "EVAL_SYNTHETIC_PTQ.json ptq_heads)")
     args = parser.parse_args()
 
     import jax
@@ -107,7 +111,8 @@ def main():
         from ssd_object_detection_tpu.ops.quant import quantize_ssd
 
         calib = _calibration_batches(cfg, spec, args.calib_batches, args.batch_size)
-        apply_fn, export_params = quantize_ssd(model, params, calib)
+        apply_fn, export_params = quantize_ssd(model, params, calib,
+                                               include_heads=args.ptq_heads)
         logging.info("ptq: quantized %d convs: %s",
                      len(export_params["quant"]), sorted(export_params["quant"]))
 

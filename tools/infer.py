@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--out-dir", type=str, default="detections")
     parser.add_argument("--score-thresh", type=float, default=0.3)
     parser.add_argument("--iou-thresh", type=float, default=0.45)
+    parser.add_argument("--ptq", action="store_true",
+                        help="int8-quantize the MXU-eligible convs (ops/quant.py), "
+                        "calibrating on the input images themselves")
+    parser.add_argument("--ptq-heads", action="store_true",
+                        help="with --ptq: also quantize the loc/conf head convs")
     args = parser.parse_args()
 
     import cv2
@@ -50,11 +55,6 @@ def main():
         with open(args.weights, "rb") as f:
             params = serialization.from_bytes(params, f.read())
 
-    predict = make_predict_fn(
-        model.apply, generate_anchors(spec.anchor_spec),
-        variances=cfg.model.loss.variances,
-        score_thresh=args.score_thresh, iou_thresh=args.iou_thresh,
-    )
     names = COCO_NAMES if cfg.data.dataset == "coco" else [
         f"class_{i}" for i in range(cfg.data.num_classes)
     ]
@@ -70,7 +70,21 @@ def main():
         originals.append(rgb)
         batch.append(cv2.resize(rgb, (size, size)).astype(np.float32) / 255.0)
 
-    det = predict(params, jnp.asarray(np.stack(batch)))
+    apply_fn, run_params = model.apply, params
+    if args.ptq:
+        from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+        calib = [jnp.asarray((np.stack(batch) - 0.5) * 2.0)]  # model-input norm
+        apply_fn, run_params = quantize_ssd(model, params, calib,
+                                            include_heads=args.ptq_heads)
+        logging.info("ptq: quantized %d convs", len(run_params["quant"]))
+
+    predict = make_predict_fn(
+        apply_fn, generate_anchors(spec.anchor_spec),
+        variances=cfg.model.loss.variances,
+        score_thresh=args.score_thresh, iou_thresh=args.iou_thresh,
+    )
+    det = predict(run_params, jnp.asarray(np.stack(batch)))
     results = []
     for i, path in enumerate(args.images):
         h, w = originals[i].shape[:2]

@@ -1,6 +1,7 @@
 """CLI profiler: capture an XPlane trace of inference or a train step.
 
-`python tools/profile.py config.yml --mode infer|train --out /tmp/xprof --steps 3`
+`python tools/profile.py config.yml --mode infer|infer-fused|train --out /tmp/xprof --steps 3`
+(`--mode infer-fused --ptq [--ptq-heads]` traces the int8 serving headline path)
 
 View with TensorBoard's profile plugin / xprof, or summarize per-op device time:
 `python tools/profile.py ... --summarize` parses the trace.json.gz directly.
@@ -44,6 +45,13 @@ def main():
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--summarize", action="store_true")
+    parser.add_argument("--ptq", action="store_true",
+                        help="with --mode infer-fused: trace the int8 serving path "
+                        "(ops/quant.py; abstract-trace eligibility + synthetic "
+                        "scales — per-op timing is scale-independent)")
+    parser.add_argument("--ptq-heads", action="store_true",
+                        help="with --ptq: also quantize the loc/conf head convs "
+                        "(bench.py's headline config)")
     args = parser.parse_args()
 
     import jax
@@ -80,17 +88,30 @@ def main():
         from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
         from ssd_object_detection_tpu.ops.preprocess import pack_canvas
 
-        predict = make_fused_predict_fn(model.apply, anchors, image_size=size)
+        apply_fn, run_params = model.apply, params
+        if args.ptq:
+            from ssd_object_detection_tpu.ops.quant import (
+                discover_eligible, make_quantized_apply, quantize_weights,
+            )
+
+            stats = {path: 1.0 for path in
+                     discover_eligible(model, params, (args.batch_size, size, size, 3),
+                                       include_heads=args.ptq_heads)}
+            apply_fn = make_quantized_apply(model)
+            run_params = {"fp": params, "quant": quantize_weights(params, stats)}
+            print(f"ptq: {len(stats)} convs int8", flush=True)
+
+        predict = make_fused_predict_fn(apply_fn, anchors, image_size=size)
         canvas, sizes = pack_canvas(
             [rng.integers(0, 256, (480, 640, 3), np.uint8)
              for _ in range(args.batch_size)]
         )
         canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
-        out = predict(params, canvas, sizes)
+        out = predict(run_params, canvas, sizes)
         float(out.scores.ravel()[0])  # warmup + sync
         with trace(args.out):
             for _ in range(args.steps):
-                out = predict(params, canvas, sizes)
+                out = predict(run_params, canvas, sizes)
             float(out.scores.ravel()[0])
     else:
         from ssd_object_detection_tpu.train.optim import make_optimizer

@@ -41,6 +41,12 @@ def main():
     p.add_argument("--fast-decode", action="store_true",
                    help="bench.py's round-3 decode config: bf16 conf logits "
                    "(conf_f32=False) + nms_mode=merged_top2 (only affects --fused)")
+    p.add_argument("--ptq", action="store_true",
+                   help="int8-quantize the MXU-eligible convs (ops/quant.py, "
+                   "abstract-trace eligibility + synthetic scales — timing is "
+                   "scale-independent); only affects --fused")
+    p.add_argument("--ptq-heads", action="store_true",
+                   help="with --ptq: also quantize the loc/conf head convs")
     args = p.parse_args()
 
     from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn, make_predict_fn
@@ -60,6 +66,21 @@ def main():
         stems.append(("s2d", SSD(num_classes=81, spec=spec, dtype=jnp.bfloat16, s2d_stem=True)))
     params = m_plain.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
 
+    apply_fn, run_params = m_plain.apply, params
+    if args.ptq:
+        from ssd_object_detection_tpu.ops.quant import (
+            discover_eligible,
+            make_quantized_apply,
+            quantize_weights,
+        )
+
+        stats = {path: 1.0 for path in
+                 discover_eligible(m_plain, params, (1, size, size, 3),
+                                   include_heads=args.ptq_heads)}
+        apply_fn = make_quantized_apply(m_plain)
+        run_params = {"fp": params, "quant": quantize_weights(params, stats)}
+        print(json.dumps({"ptq_quantized_convs": len(stats)}), flush=True)
+
     # warm up the device->host fetch path once (first fetch pays ~45s handshake)
     x0 = jnp.zeros((), jnp.float32) + 1
     float(x0)
@@ -69,17 +90,19 @@ def main():
         rng = np.random.default_rng(0)
         if args.fused:
             fused = make_fused_predict_fn(
-                m_plain.apply, anchors, image_size=size,
+                apply_fn, anchors, image_size=size,
                 nms_mode="merged_top2" if args.fast_decode else "merged",
             )
             canvas, sizes = pack_canvas(
                 [rng.integers(0, 256, (480, 640, 3), np.uint8) for _ in range(bs)]
             )
             canvas, sizes = jnp.asarray(canvas), jnp.asarray(sizes)
-            t = time_fn(lambda: fused(params, canvas, sizes),
+            t = time_fn(lambda: fused(run_params, canvas, sizes),
                         lambda o: float(o.scores[0, 0]), iters=args.iters)
             r = {"variant": args.variant, "batch": bs,
-                 "path": "fused_uint8_e2e" + ("_fast" if args.fast_decode else ""),
+                 "path": "fused_uint8_e2e" + ("_fast" if args.fast_decode else "")
+                 + ("_int8ptq_heads" if args.ptq and args.ptq_heads
+                    else "_int8ptq" if args.ptq else ""),
                  "ms": round(t * 1e3, 2), "img_s": round(bs / t, 1),
                  "ms_per_image": round(t * 1e3 / bs, 3)}
             results.append(r)
