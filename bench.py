@@ -72,7 +72,7 @@ def main():
     from ssd_object_detection_tpu.models.ssd import SSD, SSD300_SPEC_MODEL
     from ssd_object_detection_tpu.ops.anchors import generate_anchors
     from ssd_object_detection_tpu.ops.preprocess import pack_canvas
-    from ssd_object_detection_tpu.ops.quant import make_quantized_apply, quantize_weights
+    from ssd_object_detection_tpu.ops.quant import quantize_synthetic
 
     model = SSD(num_classes=81, spec=SSD300_SPEC_MODEL, dtype=jnp.bfloat16,
                 conf_f32=False)
@@ -82,12 +82,7 @@ def main():
     # PTQ with synthetic per-tensor scales: eligibility is discovered by an
     # ABSTRACT trace (no extra device compile — a real `calibrate` forward would
     # add minutes of compile for scale values that cannot change the timing).
-    from ssd_object_detection_tpu.ops.quant import discover_eligible
-
-    stats = {path: 1.0 for path in
-             discover_eligible(model, params, (BATCH, 300, 300, 3))}
-    q_apply = make_quantized_apply(model)
-    q_params = {"fp": params, "quant": quantize_weights(params, stats)}
+    q_apply, q_params, _ = quantize_synthetic(model, params, (BATCH, 300, 300, 3))
 
     # COCO-shaped inputs: 480x640 uint8 images in a 640x640 planar canvas,
     # PIPELINE distinct batches.

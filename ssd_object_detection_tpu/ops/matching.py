@@ -149,6 +149,16 @@ def build_targets(
         # e.g. SSD512 (24,564 anchors) at max_gt=100: the kernel's live (G, D) f32
         # working set (~30 MB) exceeds the 16 MB VMEM budget -> XLA matcher instead
         use_pallas = False
+    if use_pallas and mesh is None and jax.device_count() > 1:
+        # GSPMD cannot partition a bare pallas_call; without a mesh to shard_map
+        # over, a multi-device run would fail at compile -> XLA matcher instead.
+        use_pallas = False
+    if use_pallas and mesh is not None and mesh.size > 1:
+        n_shards = mesh.shape[mesh.axis_names[0]]
+        if gt_cls.shape[0] % n_shards != 0:
+            # shard_map needs the (micro-)batch divisible by the data axis; e.g.
+            # accum_steps can shrink the per-step batch below the mesh width.
+            use_pallas = False
     if use_pallas:
         from ssd_object_detection_tpu.ops.pallas_matcher import match_anchors_pallas
 

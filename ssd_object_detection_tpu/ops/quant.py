@@ -53,8 +53,22 @@ def _is_head(path: str) -> bool:
     return leaf.startswith("loc_head") or leaf.startswith("conf_head")
 
 
+def _trivial_dilation(d) -> bool:
+    if d is None:
+        return True
+    if isinstance(d, int):
+        return d == 1
+    return all(int(v) == 1 for v in d)
+
+
 def _eligible(module: nn.Module, x: jnp.ndarray, min_in_ch: int, include_heads: bool) -> bool:
     if type(module) is not nn.Conv:  # excludes _S2DConv and any Conv subclass
+        return False
+    if not (_trivial_dilation(module.kernel_dilation)
+            and _trivial_dilation(module.input_dilation)):
+        # _int8_conv does not forward dilations; a dilated conv would compute a
+        # DIFFERENT convolution with the same output shape — exclude it here and
+        # assert in _int8_conv so a hand-built QuantSpec fails loudly.
         return False
     if module.feature_group_count != 1:
         # grouped/depthwise (MobileNetV2): per-channel contraction never fills
@@ -164,6 +178,9 @@ def quantize_weights(params, stats: Dict[str, float]) -> QuantSpec:
 
 def _int8_conv(module: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """nn.Conv-equivalent forward through the int8 MXU path."""
+    assert _trivial_dilation(module.kernel_dilation) and _trivial_dilation(
+        module.input_dilation
+    ), f"_int8_conv does not support dilated convs: {_conv_path(module)}"
     strides = module.strides or (1, 1)
     if isinstance(strides, int):
         strides = (strides, strides)
@@ -210,6 +227,36 @@ def make_quantized_apply(model: nn.Module) -> Callable:
             return model.apply(q_params["fp"], images)
 
     return q_apply
+
+
+def quantize_synthetic(
+    model: nn.Module,
+    params,
+    input_shape: Tuple[int, ...],
+    min_in_ch: int = 128,
+    include_heads: bool = False,
+):
+    """PTQ setup with SYNTHETIC unit scales — for timing harnesses only
+    (bench.py, tools/profile.py, tools/sweep_infer.py).
+
+    Eligibility comes from an abstract trace (`discover_eligible`, no device
+    compile); every scale is 1.0. int8 THROUGHPUT is scale-independent, so the
+    timing matches a calibrated deployment exactly, but the outputs are
+    numerically meaningless for accuracy work — use `calibrate`/`quantize_ssd`
+    there (accuracy gate: tools/eval_synthetic.py --ptq).
+
+    Returns (q_apply, q_params, n_quantized_convs).
+    """
+    stats = {
+        path: 1.0
+        for path in discover_eligible(
+            model, params, input_shape, min_in_ch=min_in_ch,
+            include_heads=include_heads,
+        )
+    }
+    q_apply = make_quantized_apply(model)
+    q_params = {"fp": params, "quant": quantize_weights(params, stats)}
+    return q_apply, q_params, len(stats)
 
 
 def quantize_ssd(

@@ -93,6 +93,48 @@ def test_pallas_under_mesh_matches_xla():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_pallas_mesh_nondivisible_batch_falls_back():
+    """A (micro-)batch not divisible by the data axis (e.g. batch 16 with
+    accum_steps=4 on 8 chips -> micro-batch 4) must fall back to the XLA matcher
+    instead of crashing in jax.shard_map (round-3 review finding)."""
+    from ssd_object_detection_tpu.ops.matching import build_targets
+    from ssd_object_detection_tpu.parallel.mesh import make_mesh
+
+    gt_cls, gt_boxes, gt_valid, anchors = _random_case(17, batch=4)
+    want = build_targets(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), use_pallas=False,
+    )
+    mesh = make_mesh(8)  # 4 % 8 != 0: shard_map would raise at trace
+    got = build_targets(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), use_pallas=True, mesh=mesh, interpret=True,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pallas_no_mesh_multidevice_falls_back():
+    """use_pallas=True with mesh=None on a multi-device backend must fall back:
+    GSPMD cannot partition a bare pallas_call (round-3 review finding). On this
+    8-virtual-device CPU harness the guard routes to the XLA matcher, so the call
+    must succeed even with interpret=False (the kernel would not lower on CPU)."""
+    from ssd_object_detection_tpu.ops.matching import build_targets
+
+    assert jax.device_count() > 1  # conftest pins 8 virtual CPU devices
+    gt_cls, gt_boxes, gt_valid, anchors = _random_case(18, batch=4)
+    want = build_targets(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), use_pallas=False,
+    )
+    got = build_targets(
+        jnp.asarray(gt_cls), jnp.asarray(gt_boxes), jnp.asarray(gt_valid),
+        jnp.asarray(anchors), use_pallas=True, mesh=None, interpret=False,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_dp_train_step_with_pallas_matcher_matches_xla():
     """Round-3 VERDICT item 4: the full DP train step with the Pallas matcher
     (shard_map, interpret mode) produces the same loss/params as the XLA-matcher

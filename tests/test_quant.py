@@ -59,6 +59,39 @@ def test_discover_eligible_matches_calibrate_no_compile(micro):
     assert "conf_head0" in with_heads and "extra1_conv0" in with_heads
 
 
+def test_quantize_synthetic_helper(micro):
+    """quantize_synthetic (the shared bench/profile/sweep recipe) produces a
+    runnable q_apply whose outputs have the model's shapes, and quantizes the
+    same convs discover_eligible selects."""
+    from ssd_object_detection_tpu.ops.quant import discover_eligible, quantize_synthetic
+
+    model, params, x = micro
+    q_apply, q_params, n_q = quantize_synthetic(model, params, tuple(x.shape))
+    assert n_q == len(discover_eligible(model, params, tuple(x.shape)))
+    assert sorted(q_params["quant"]) == sorted(
+        discover_eligible(model, params, tuple(x.shape))
+    )
+    loc, conf = q_apply(q_params, x)
+    ref_loc, ref_conf = model.apply(params, x)
+    assert loc.shape == ref_loc.shape and conf.shape == ref_conf.shape
+
+
+def test_dilated_convs_excluded_from_eligibility():
+    """_int8_conv does not forward kernel/input dilation, so dilated convs must
+    never pass _eligible (they would compute a different convolution with the
+    same output shape — silent corruption)."""
+    import flax.linen as nn
+
+    from ssd_object_detection_tpu.ops.quant import _eligible
+
+    x = jnp.zeros((1, 8, 8, 256))
+    plain = nn.Conv(features=64, kernel_size=(3, 3), padding="SAME")
+    dilated = nn.Conv(features=64, kernel_size=(3, 3), padding="SAME",
+                      kernel_dilation=(6, 6))
+    assert _eligible(plain, x, min_in_ch=128, include_heads=True)
+    assert not _eligible(dilated, x, min_in_ch=128, include_heads=True)
+
+
 def test_mnv2_depthwise_convs_excluded():
     """MobileNetV2's depthwise convs (feature_group_count=channels) must never
     quantize — _int8_conv runs a dense contraction, and grouped convs have no MXU

@@ -36,8 +36,8 @@ def _calibration_batches(cfg, spec, n_batches, batch_size):
             max_gt=min(cfg.data.max_gt, 8), num_classes=min(cfg.data.num_classes, 8),
         )
         for batch in ds.batches(batch_size=batch_size):
-            img = np.asarray(batch["image"], np.float32)
-            if img.dtype == np.uint8 or img.max() > 1.5:
+            img = np.asarray(batch["image"]).astype(np.float32)
+            if np.asarray(batch["image"]).dtype == np.uint8:
                 img = img / 255.0
             out.append(jnp.asarray((img - 0.5) * 2.0))
             if len(out) >= n_batches:

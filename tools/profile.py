@@ -51,7 +51,8 @@ def main():
                         "scales — per-op timing is scale-independent)")
     parser.add_argument("--ptq-heads", action="store_true",
                         help="with --ptq: also quantize the loc/conf head convs "
-                        "(bench.py's headline config)")
+                        "(+9%% measured on VGG; accuracy gate "
+                        "EVAL_SYNTHETIC_PTQ.json ptq_heads)")
     args = parser.parse_args()
 
     import jax
@@ -88,20 +89,25 @@ def main():
         from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
         from ssd_object_detection_tpu.ops.preprocess import pack_canvas
 
+        # Match bench.py's headline serving config exactly: bf16 conf logits
+        # through ranking (conf_f32=False; params are layout-identical) and
+        # merged_top2 NMS — otherwise per-op conclusions describe a program the
+        # serving path no longer runs.
+        model = SSD(num_classes=cfg.data.num_classes + 1, spec=spec,
+                    dtype=jnp.bfloat16 if cfg.model.precision == "bfloat16" else jnp.float32,
+                    conf_f32=False)
         apply_fn, run_params = model.apply, params
         if args.ptq:
-            from ssd_object_detection_tpu.ops.quant import (
-                discover_eligible, make_quantized_apply, quantize_weights,
+            from ssd_object_detection_tpu.ops.quant import quantize_synthetic
+
+            apply_fn, run_params, n_q = quantize_synthetic(
+                model, params, (args.batch_size, size, size, 3),
+                include_heads=args.ptq_heads,
             )
+            print(f"ptq: {n_q} convs int8", flush=True)
 
-            stats = {path: 1.0 for path in
-                     discover_eligible(model, params, (args.batch_size, size, size, 3),
-                                       include_heads=args.ptq_heads)}
-            apply_fn = make_quantized_apply(model)
-            run_params = {"fp": params, "quant": quantize_weights(params, stats)}
-            print(f"ptq: {len(stats)} convs int8", flush=True)
-
-        predict = make_fused_predict_fn(apply_fn, anchors, image_size=size)
+        predict = make_fused_predict_fn(apply_fn, anchors, image_size=size,
+                                        nms_mode="merged_top2")
         canvas, sizes = pack_canvas(
             [rng.integers(0, 256, (480, 640, 3), np.uint8)
              for _ in range(args.batch_size)]

@@ -68,18 +68,12 @@ def main():
 
     apply_fn, run_params = m_plain.apply, params
     if args.ptq:
-        from ssd_object_detection_tpu.ops.quant import (
-            discover_eligible,
-            make_quantized_apply,
-            quantize_weights,
-        )
+        from ssd_object_detection_tpu.ops.quant import quantize_synthetic
 
-        stats = {path: 1.0 for path in
-                 discover_eligible(m_plain, params, (1, size, size, 3),
-                                   include_heads=args.ptq_heads)}
-        apply_fn = make_quantized_apply(m_plain)
-        run_params = {"fp": params, "quant": quantize_weights(params, stats)}
-        print(json.dumps({"ptq_quantized_convs": len(stats)}), flush=True)
+        apply_fn, run_params, n_q = quantize_synthetic(
+            m_plain, params, (1, size, size, 3), include_heads=args.ptq_heads,
+        )
+        print(json.dumps({"ptq_quantized_convs": n_q}), flush=True)
 
     # warm up the device->host fetch path once (first fetch pays ~45s handshake)
     x0 = jnp.zeros((), jnp.float32) + 1

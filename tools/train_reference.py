@@ -174,7 +174,9 @@ def main():
             step += 1
             if step >= args.warmup_steps:
                 break
-    print(f"warmup done ({args.warmup_steps} steps), loss={float(loss):.4f}", flush=True)
+    if args.warmup_steps > 0:
+        print(f"warmup done ({args.warmup_steps} steps), loss={float(loss):.4f}",
+              flush=True)
 
     for epoch in range(args.epochs):
         losses = []
