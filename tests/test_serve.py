@@ -103,3 +103,25 @@ def test_fused_export_reload_matches_live_fused_predict():
     np.testing.assert_allclose(
         np.asarray(served.boxes), np.asarray(live.boxes), rtol=1e-4, atol=1e-6
     )
+
+
+def test_export_calibration_batches_normalization(tmp_path):
+    """tools/export._calibration_batches must emit (x-0.5)*2-normalized batches
+    from the synthetic dataset: float01 input -> values in [-1,1] centered near
+    the synthetic base brightness (regression: the uint8 check once ran AFTER
+    float32 conversion and was dead, risking a 255x calibration scale error)."""
+    from tests.test_trainer import _tiny_config
+    from tools.export import _calibration_batches
+
+    cfg = _tiny_config(tmp_path)
+    spec = TINY_MODEL
+    batches = _calibration_batches(cfg, spec, n_batches=2, batch_size=2)
+    assert len(batches) == 2
+    for b in batches:
+        arr = np.asarray(b)
+        assert arr.shape == (2, spec.anchor_spec.image_size,
+                             spec.anchor_spec.image_size, 3)
+        assert arr.min() >= -1.0 and arr.max() <= 1.0
+        # synthetic base brightness is 0.35-0.45 -> normalized mean near -0.2;
+        # an erroneous /255 would put the mean near -1.0
+        assert -0.5 < float(arr.mean()) < 0.2
