@@ -52,9 +52,10 @@ import jax
 
 # Persistent compilation cache (same dir as tests/conftest.py and
 # __graft_entry__.py): both bench programs compile in minutes cold; a warm cache
-# makes re-runs start in seconds. Harmless if the backend doesn't support it.
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_ssd_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# makes re-runs start in seconds.
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -47,6 +47,11 @@ def detect_from_logits(
 
     `top_k_per_class` applies to nms_mode="per_class"; `merged_top_k` (None = a
     2.56x max_detections margin) applies to nms_mode="merged"."""
+    if nms_mode not in ("per_class", "merged", "merged_top2"):
+        # free-form strings reach here from 4 CLI tools + 2 export entry points;
+        # a typo must not silently select the (17x heavier) per-class path
+        raise ValueError(f"unknown nms_mode {nms_mode!r}: "
+                         "expected 'per_class', 'merged' or 'merged_top2'")
     batch, num_anchors, num_ch = pred_logits.shape
 
     # Stage 1 in logit space: rank anchors by max foreground probability.

@@ -61,8 +61,21 @@ def _trivial_dilation(d) -> bool:
     return all(int(v) == 1 for v in d)
 
 
+def _lax_padding(p) -> bool:
+    """Whether `p` is a padding form lax.conv_general_dilated accepts verbatim.
+    flax's nn.Conv also allows int / per-dim ints ('padding=1'), which it
+    canonicalizes internally — _int8_conv forwards module.padding raw, so those
+    forms must be excluded here (and asserted there)."""
+    if p in ("SAME", "VALID"):
+        return True
+    return (isinstance(p, (tuple, list))
+            and all(isinstance(e, (tuple, list)) and len(e) == 2 for e in p))
+
+
 def _eligible(module: nn.Module, x: jnp.ndarray, min_in_ch: int, include_heads: bool) -> bool:
     if type(module) is not nn.Conv:  # excludes _S2DConv and any Conv subclass
+        return False
+    if not _lax_padding(module.padding):
         return False
     if not (_trivial_dilation(module.kernel_dilation)
             and _trivial_dilation(module.input_dilation)):
@@ -181,6 +194,9 @@ def _int8_conv(module: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jn
     assert _trivial_dilation(module.kernel_dilation) and _trivial_dilation(
         module.input_dilation
     ), f"_int8_conv does not support dilated convs: {_conv_path(module)}"
+    assert _lax_padding(module.padding), (
+        f"_int8_conv forwards padding raw to lax: {_conv_path(module)} uses "
+        f"{module.padding!r} (use 'SAME'/'VALID' or ((lo,hi),...) pairs)")
     strides = module.strides or (1, 1)
     if isinstance(strides, int):
         strides = (strides, strides)

@@ -20,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_ssd_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

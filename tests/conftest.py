@@ -21,6 +21,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA compiles are minutes-long on a 1-vCPU host and
-# the suite re-compiles the same programs every run. Harmless if unsupported.
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_ssd_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# the suite re-compiles the same programs every run.
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()

@@ -4,6 +4,8 @@ Verifies BASELINE.json config #5's mechanism: batch-sharded inputs + replicated 
 through the SAME jitted train step produce bitwise-equivalent-to-single-device results
 (GSPMD inserts the ICI all-reduce; batch-global hard-neg mining stays global)."""
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,7 +124,7 @@ def test_multihost_two_process_dp_step(tiny_setup):
     env = {k: v for k, v in _os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            ["python", worker, coordinator, "2", str(pid)],
+            [sys.executable, worker, coordinator, "2", str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid in range(2)

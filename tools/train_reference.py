@@ -141,14 +141,18 @@ def main():
         lambda c, b, v: build_targets(c, b, v, anchors), backend="cpu"
     )
 
-    def batches(split, shuffle, epochs=1):
+    def make_pipeline(split, shuffle):
         index = open_split(args.root, split)
-        pipe = CocoPipeline(index, PipelineConfig(
+        return CocoPipeline(index, PipelineConfig(
             image_size=300, max_gt=args.max_gt, batch_size=args.batch_size,
             shuffle=shuffle, num_workers=4,
         ))
-        for _ in range(epochs):
-            yield from pipe
+
+    # ONE pipeline for all of training: CocoPipeline reshuffles on every
+    # iteration pass (persistent rng + epoch counter, data/pipeline.py) — the
+    # same regime tools/train.py's arm gets. Rebuilding it per epoch would
+    # replay one fixed batch order every epoch and bias the parity head-to-head.
+    train_pipe = make_pipeline("train", shuffle=True)
 
     def to_ref_batch(batch):
         """Our pipeline batch -> (image [-1,1], targets) with OUR bit-compatible
@@ -168,7 +172,7 @@ def main():
     step = 0
     # warmup phase with the separate optimizer (reference :295-311)
     while step < args.warmup_steps:
-        for batch in batches("train", shuffle=True):
+        for batch in train_pipe:
             image, t_cls, t_loc, t_mask = to_ref_batch(batch)
             loss = train_step(warm_opt, image, t_cls, t_loc, t_mask)
             step += 1
@@ -180,7 +184,7 @@ def main():
 
     for epoch in range(args.epochs):
         losses = []
-        for batch in batches("train", shuffle=True):
+        for batch in train_pipe:
             image, t_cls, t_loc, t_mask = to_ref_batch(batch)
             losses.append(float(train_step(main_opt, image, t_cls, t_loc, t_mask)))
         print(f"epoch {epoch + 1}/{args.epochs}: loss={np.mean(losses):.4f} "
@@ -212,7 +216,8 @@ def main():
         return jit_decode(jnp.asarray(loc.numpy()), jnp.asarray(conf.numpy()))
 
     metrics = evaluate_batches(
-        ref_predict, None, batches("val", shuffle=False), num_classes=args.num_classes
+        ref_predict, None, make_pipeline("val", shuffle=False),
+        num_classes=args.num_classes
     )
     result = {
         "stack": "reference-equivalent tf.keras (tools/measure_reference.build_reference_model)",
