@@ -34,7 +34,7 @@ float and PTQ paths on the same weights/val split, and reports both mAPs
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Tuple
 
 import flax.linen as nn
 import jax

@@ -155,7 +155,6 @@ def test_pallas_matcher_vmem_guard():
     # and build_targets must run (on CPU this exercises only the dispatch path)
     import jax.numpy as jnp
 
-    from ssd_object_detection_tpu.ops.anchors import SSD512_SPEC, generate_anchors
     from ssd_object_detection_tpu.ops.matching import build_targets
 
     # an anchor set beyond the scratch budget: dispatch must silently fall back

@@ -14,7 +14,6 @@ from ssd_object_detection_tpu.models.ssd import SSD, ModelSpec
 from ssd_object_detection_tpu.ops.anchors import AnchorSpec
 from ssd_object_detection_tpu.ops.quant import (
     calibrate,
-    make_quantized_apply,
     quantize_ssd,
     quantize_weights,
 )
