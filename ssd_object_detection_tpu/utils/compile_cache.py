@@ -14,9 +14,20 @@ MIN_COMPILE_TIME_SECS = 2.0
 
 
 def enable_compile_cache() -> None:
-    """Call after `import jax`, before the first jit compilation."""
+    """Call after `import jax`, before the first jit compilation.
+
+    Also makes ``JAX_PLATFORMS`` actually binding: the axon TPU plugin ignores
+    the env filter and initializes its backend anyway, which *hangs* (not
+    fails) when the tunnel is down — so ``JAX_PLATFORMS=cpu python tools/...``
+    would stall at first device use. Forcing the jax config (what
+    tests/conftest.py does) restores the documented env-var semantics for
+    every entry point that calls this helper.
+    """
     import jax
 
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser(CACHE_DIR))
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", MIN_COMPILE_TIME_SECS

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -48,6 +52,16 @@ def main():
     p.add_argument(
         "--ptq-max-drop", type=float, default=0.02,
         help="max allowed absolute mAP@0.5 drop float->int8 for the PTQ gate",
+    )
+    p.add_argument(
+        "--save-weights", type=str, default=None,
+        help="after training, export params to this .msgpack so later runs can "
+        "re-evaluate variants (e.g. new PTQ configs) without retraining",
+    )
+    p.add_argument(
+        "--load-weights", type=str, default=None,
+        help="skip training and evaluate params from this .msgpack (accuracy is "
+        "deterministic given weights, so gate re-runs need no device training time)",
     )
     args = p.parse_args()
 
@@ -117,32 +131,49 @@ def main():
         }
 
     t0 = time.time()
-    # warmup phase with its own optimizer (reference two-optimizer warmup semantics)
-    wu_tx = make_optimizer("adam", polynomial_decay(1e-6, args.warmup, args.lr))
-    wu_step_fn = make_train_step(model.apply, anchors, wu_tx, step_cfg)
+    if args.load_weights:
+        from flax import serialization
 
-    @jax.jit
-    def wu_step(state, i):
-        return wu_step_fn(state, slice_batch(train, i))
+        with open(args.load_weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        final_params = params
+        train_secs = 0.0
+        print(f"loaded trained weights from {args.load_weights} (training skipped)",
+              flush=True)
+    else:
+        # warmup phase with its own optimizer (reference two-optimizer warmup semantics)
+        wu_tx = make_optimizer("adam", polynomial_decay(1e-6, args.warmup, args.lr))
+        wu_step_fn = make_train_step(model.apply, anchors, wu_tx, step_cfg)
 
-    state = create_train_state(params, wu_tx)
-    for i in range(args.warmup):
-        state, metrics = wu_step(state, jnp.int32(i))
-    print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
+        @jax.jit
+        def wu_step(state, i):
+            return wu_step_fn(state, slice_batch(train, i))
 
-    tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
-    step_fn = make_train_step(model.apply, anchors, tx, step_cfg)
+        state = create_train_state(params, wu_tx)
+        for i in range(args.warmup):
+            state, metrics = wu_step(state, jnp.int32(i))
+        print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
 
-    @jax.jit
-    def step(state, i):
-        return step_fn(state, slice_batch(train, i))
+        tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
+        step_fn = make_train_step(model.apply, anchors, tx, step_cfg)
 
-    state = create_train_state(state.params, tx)
-    for i in range(args.steps):
-        state, metrics = step(state, jnp.int32(i))
-        if (i + 1) % 200 == 0:
-            print(f"step {i+1}/{args.steps}: loss {float(metrics['loss']):.3f}", flush=True)
-    train_secs = time.time() - t0
+        @jax.jit
+        def step(state, i):
+            return step_fn(state, slice_batch(train, i))
+
+        state = create_train_state(state.params, tx)
+        for i in range(args.steps):
+            state, metrics = step(state, jnp.int32(i))
+            if (i + 1) % 200 == 0:
+                print(f"step {i+1}/{args.steps}: loss {float(metrics['loss']):.3f}", flush=True)
+        train_secs = time.time() - t0
+        final_params = state.params
+        if args.save_weights:
+            from flax import serialization
+
+            with open(args.save_weights, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(final_params)))
+            print(f"trained weights exported to {args.save_weights}", flush=True)
 
     # evaluate the held-out split with the production predict path + full evaluator
     def run_eval(predict_fn, eval_params):
@@ -167,7 +198,7 @@ def main():
         return evaluator.summarize()
 
     predict = make_predict_fn(model.apply, anchors, variances=variances, score_thresh=0.05)
-    metrics = run_eval(predict, state.params)
+    metrics = run_eval(predict, final_params)
 
     ptq_results = {}  # key -> metrics dict; "ptq" = selective, "ptq_heads" = + head convs
     if args.ptq:
@@ -185,7 +216,7 @@ def main():
         # accuracy gate).
         for key, include_heads in (("ptq", False), ("ptq_heads", True)):
             q_apply, q_params = quantize_ssd(
-                model, state.params, calib, include_heads=include_heads
+                model, final_params, calib, include_heads=include_heads
             )
             print(f"{key}: quantized {len(q_params['quant'])} convs: "
                   f"{sorted(q_params['quant'])}", flush=True)
@@ -199,8 +230,12 @@ def main():
     result = {
         "dataset": "synthetic (hermetic; data/synthetic.py)",
         "model": f"{args.variant} bf16" + (" (canonical loss/encoding)" if args.canonical else ""),
-        "train": {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
-                  "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)},
+        "train": (
+            {"loaded_weights": args.load_weights}
+            if args.load_weights
+            else {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
+                  "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)}
+        ),
         "val_images": args.num_val,
         "metrics": {k: round(float(v), 4) for k, v in metrics.items()},
         "gate": f"mAP@0.5 > {args.gate}",

@@ -20,6 +20,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def _calibration_batches(cfg, spec, n_batches, batch_size):
     """Model-input calibration batches ((x-0.5)*2-normalized) from the config's

@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from ssd_object_detection_tpu.config import load_config
 from ssd_object_detection_tpu.train.loop import Trainer
 
