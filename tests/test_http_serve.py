@@ -1,0 +1,121 @@
+"""DetectorService + HTTP server contract (new capability: the reference repo has
+no inference/serving entry point at all — SURVEY.md section 3.3)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_object_detection_tpu.eval.serve import DetectorService
+from ssd_object_detection_tpu.models.ssd import SSD
+from ssd_object_detection_tpu.ops.anchors import generate_anchors
+from tests.test_train_step import NUM_CLASSES, TINY_ANCHORS, TINY_MODEL
+
+
+@pytest.fixture(scope="module")
+def service():
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return DetectorService(
+        model.apply,
+        params,
+        generate_anchors(TINY_ANCHORS),
+        image_size=64,
+        batch_size=2,
+        canvas_hw=(96, 96),
+        score_thresh=0.05,
+        label_names=[f"class_{i}" for i in range(NUM_CLASSES - 1)],
+    )
+
+
+def test_detect_images_contract(service):
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 256, (48, 96, 3), np.uint8),  # fills canvas width
+        rng.integers(0, 256, (96, 32, 3), np.uint8),  # tall narrow
+    ]
+    results = service.detect_images(imgs)
+    assert len(results) == 2
+    for dets, img in zip(results, imgs):
+        h, w = img.shape[:2]
+        scores = [d["score"] for d in dets]
+        assert scores == sorted(scores, reverse=True)
+        for d in dets:
+            json.dumps(d)  # JSON-serializable contract
+            x1, y1, x2, y2 = d["box_xyxy"]
+            assert 0 <= x1 <= x2 <= w and 0 <= y1 <= y2 <= h
+            assert 0 <= d["class_id"] < NUM_CLASSES - 1
+            assert d["class_name"] == f"class_{d['class_id']}"
+            assert d["score"] >= 0.05
+
+
+def test_short_batch_padding_matches_full(service):
+    """A 1-image request through the batch-2 program must equal that image's
+    detections from a 2-image request (padding images cannot leak)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    other = rng.integers(0, 256, (48, 80, 3), np.uint8)
+    solo = service.detect_images([img])[0]
+    paired = service.detect_images([img, other])[0]
+    assert json.dumps(solo) == json.dumps(paired)
+
+
+def test_oversized_input_downscaled(service):
+    """Images exceeding the canvas are host-downscaled, boxes still in the
+    ORIGINAL pixel frame."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (192, 256, 3), np.uint8)  # 2x the 96-canvas
+    dets = service.detect_images([img])[0]
+    for d in dets:
+        x1, y1, x2, y2 = d["box_xyxy"]
+        assert 0 <= x1 <= x2 <= 256 and 0 <= y1 <= y2 <= 192
+
+
+def test_batch_overflow_rejected(service):
+    imgs = [np.zeros((16, 16, 3), np.uint8)] * 3
+    with pytest.raises(ValueError, match="batch size"):
+        service.detect_images(imgs)
+
+
+def test_http_round_trip(service):
+    from tools.serve import make_server
+
+    server = make_server(service, {"model": "tiny"}, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address
+
+        with urllib.request.urlopen(f"http://{host}:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["model"] == "tiny"
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+        ok, buf = cv2.imencode(".jpg", img[..., ::-1])
+        assert ok
+        req = urllib.request.Request(
+            f"http://{host}:{port}/detect", data=buf.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.loads(r.read())
+        assert "detections" in payload
+        for d in payload["detections"]:
+            assert set(d) >= {"box_xyxy", "score", "class_id"}
+
+        # malformed body -> 400, not a server crash
+        bad = urllib.request.Request(
+            f"http://{host}:{port}/detect", data=b"not an image", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -1,0 +1,170 @@
+"""HTTP inference server: JPEG/PNG in, JSON detections out.
+
+`python tools/serve.py config.yml --weights w.msgpack [--port 8000] [--ptq]`
+
+Endpoints:
+  GET  /healthz  -> {"status": "ok", "model": ..., "device": ...}
+  POST /detect   body = encoded image bytes (JPEG/PNG)
+                 -> {"detections": [{"box_xyxy": [x1,y1,x2,y2] pixels,
+                                     "score": s, "class_id": c, "class_name": n}]}
+
+The device path is the same ONE fused XLA program bench.py measures (on-device
+resize + normalize + forward + decode + NMS; eval/serve.DetectorService); the host
+does JPEG decode and canvas packing only. A lock serializes device access across
+the ThreadingHTTPServer's request threads — a single compiled program at a fixed
+batch size is the right shape for one chip; horizontal scale is more processes.
+
+New capability: the reference repo has no inference or serving entry point
+(SURVEY.md section 3.3).
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ssd_object_detection_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+logger = logging.getLogger("serve")
+
+
+def build_service(args):
+    """Config + weights -> (DetectorService, info dict). Mirrors tools/eval.py's
+    model construction so served weights match evaluated weights exactly."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from ssd_object_detection_tpu.config import load_config
+    from ssd_object_detection_tpu.data.coco import COCO_NAMES
+    from ssd_object_detection_tpu.eval.serve import DetectorService
+    from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
+    from ssd_object_detection_tpu.ops.anchors import generate_anchors
+
+    cfg = load_config(args.config)
+    spec = MODEL_SPECS[cfg.model.variant]
+    num_classes = cfg.data.num_classes + 1
+    dtype = jnp.bfloat16 if cfg.model.precision == "bfloat16" else jnp.float32
+    model = SSD(num_classes=num_classes, spec=spec, dtype=dtype)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, spec.image_size, spec.image_size, 3))
+    )
+    if args.weights:
+        with open(args.weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+    else:
+        logger.warning("no --weights given; serving RANDOM weights (smoke mode)")
+
+    apply_fn, run_params = model.apply, params
+    if args.ptq:
+        from tools.export import _calibration_batches
+
+        from ssd_object_detection_tpu.ops.quant import quantize_ssd
+
+        calib = _calibration_batches(cfg, spec, 4, max(args.batch_size, 8))
+        apply_fn, run_params = quantize_ssd(
+            model, params, calib, include_heads=args.ptq_heads
+        )
+        logger.info("ptq: quantized %d convs", len(run_params["quant"]))
+
+    names = (
+        COCO_NAMES
+        if cfg.data.dataset == "coco" and cfg.data.num_classes == len(COCO_NAMES)
+        else [f"class_{i}" for i in range(cfg.data.num_classes)]
+    )
+    service = DetectorService(
+        apply_fn,
+        run_params,
+        generate_anchors(spec.anchor_spec),
+        image_size=spec.image_size,
+        batch_size=args.batch_size,
+        variances=cfg.model.loss.variances,
+        score_thresh=args.score_thresh,
+        iou_thresh=args.iou_thresh,
+        label_names=names,
+    )
+    info = {
+        "model": cfg.model.variant,
+        "precision": "int8-ptq" if args.ptq else cfg.model.precision,
+        "device": str(jax.devices()[0]),
+    }
+    return service, info
+
+
+def make_server(service, info, host: str = "127.0.0.1", port: int = 0):
+    """ThreadingHTTPServer wired to a DetectorService; port 0 picks a free port."""
+    lock = threading.Lock()  # one device, one compiled program: serialize access
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", **info})
+            else:
+                self._reply(404, {"error": "use GET /healthz or POST /detect"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._reply(404, {"error": "use POST /detect"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if not 0 < length <= 64 * 1024 * 1024:
+                self._reply(400, {"error": "missing or oversized request body"})
+                return
+            data = self.rfile.read(length)
+            try:
+                with lock:
+                    dets = service.detect_encoded(data)
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+                return
+            self._reply(200, {"detections": dets})
+
+        def log_message(self, fmt, *a):  # route through logging, not stderr
+            logger.info("%s %s", self.address_string(), fmt % a)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="HTTP SSD detection server")
+    p.add_argument("config", type=str)
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--score-thresh", type=float, default=0.3)
+    p.add_argument("--iou-thresh", type=float, default=0.45)
+    p.add_argument("--ptq", action="store_true",
+                   help="serve through the int8 PTQ path (ops/quant.py)")
+    p.add_argument("--ptq-heads", action="store_true",
+                   help="with --ptq: also quantize the loc/conf head convs")
+    args = p.parse_args()
+
+    service, info = build_service(args)
+    # compile + warm up before accepting traffic
+    import numpy as np
+
+    service.detect_images([np.zeros((480, 640, 3), np.uint8)])
+    server = make_server(service, info, args.host, args.port)
+    logger.info("serving %s on http://%s:%d", info, *server.server_address)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
