@@ -326,7 +326,7 @@ class Trainer:
         metrics = evaluate_batches(
             self._eval_predict, params if params is not None else self.params,
             self.val_batches(), num_classes=self.cfg.data.num_classes,
-            max_batches=max_batches,
+            max_batches=max_batches, mesh=self.mesh,
         )
         if self._tb is not None:
             with self._tb.as_default():

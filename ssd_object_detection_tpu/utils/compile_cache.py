@@ -7,10 +7,37 @@ helper so the cache dir and threshold cannot drift between entry points
 Harmless if the backend doesn't support it.
 """
 
+import hashlib
 import os
 
 CACHE_DIR = "~/.cache/jax_ssd_tests"
 MIN_COMPILE_TIME_SECS = 2.0
+
+
+def _machine_fingerprint() -> str:
+    """Short digest of the host's CPU feature flags.
+
+    XLA:CPU AOT results are machine-code; its persistent-cache key does NOT cover
+    the target machine features, so a cache written on one host can hand a later
+    host executables using unsupported instructions (the loader only warns:
+    "Machine type used for XLA:CPU compilation doesn't match ... could lead to
+    execution errors such as SIGILL"). On this platform the VM's CPU model
+    changes between sessions, and a poisoned entry aborts the process mid-suite
+    (round-3 full-suite SIGABRT at an Array fetch). Scoping the cache dir by CPU
+    flags makes a new machine start a fresh cache instead of executing stale
+    machine code.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable_compile_cache() -> None:
@@ -28,7 +55,8 @@ def enable_compile_cache() -> None:
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
         jax.config.update("jax_platforms", platforms)
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(CACHE_DIR))
+    cache_dir = os.path.expanduser(f"{CACHE_DIR}-{_machine_fingerprint()}")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", MIN_COMPILE_TIME_SECS
     )

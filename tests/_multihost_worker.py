@@ -13,7 +13,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# deterministic thunk scheduling: same collective-ordering deadlock guard as
+# tests/conftest.py (multi-device CPU meshes + one thread per virtual device)
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4"
+    " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

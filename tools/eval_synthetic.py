@@ -36,7 +36,9 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
     p.add_argument("--gate", type=float, default=0.9)
-    p.add_argument("--variant", type=str, default="ssd300", choices=("ssd300", "ssd300_r34", "ssd300_mnv2"))
+    p.add_argument("--variant", type=str, default="ssd300",
+                   choices=("ssd300", "ssd300_r34", "ssd300_mnv2",
+                            "ssd512", "ssd512_r34", "ssd512_mnv2"))
     p.add_argument(
         "--canonical", action="store_true",
         help="train+decode in canonical SSD-paper mode (smooth-L1, per-image mining, "
@@ -84,12 +86,13 @@ def main():
 
     num_classes = 8
     max_gt = 8
+    img = MODEL_SPECS[args.variant].image_size  # 300 or 512 family
     train_ds = SyntheticDetectionDataset(
-        num_images=args.num_train, image_size=300, max_gt=max_gt,
+        num_images=args.num_train, image_size=img, max_gt=max_gt,
         num_classes=num_classes, seed=0,
     )
     val_ds = SyntheticDetectionDataset(
-        num_images=args.num_val, image_size=300, max_gt=max_gt,
+        num_images=args.num_val, image_size=img, max_gt=max_gt,
         num_classes=num_classes, seed=999,
     )
 
@@ -113,7 +116,7 @@ def main():
 
     spec = MODEL_SPECS[args.variant]
     model = SSD(num_classes=num_classes + 1, spec=spec, dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))
     anchors = generate_anchors(spec.anchor_spec)
 
     bs = args.batch_size
@@ -182,7 +185,7 @@ def main():
             n = min(bs, args.num_val - b0)
             imgs = val["image_u8"][b0 : b0 + n].astype(jnp.float32) / 255.0
             det = predict_fn(eval_params, imgs)
-            scale = np.array([300.0, 300.0, 300.0, 300.0], np.float32)
+            scale = np.array([float(img)] * 4, np.float32)
             for b in range(n):
                 keep = np.asarray(det.valid[b])
                 d_xyxy = np.asarray(box_ops.cxcywh_to_xyxy(det.boxes[b][keep] * scale))

@@ -10,9 +10,12 @@ Endpoints:
 
 The device path is the same ONE fused XLA program bench.py measures (on-device
 resize + normalize + forward + decode + NMS; eval/serve.DetectorService); the host
-does JPEG decode and canvas packing only. A lock serializes device access across
-the ThreadingHTTPServer's request threads — a single compiled program at a fixed
-batch size is the right shape for one chip; horizontal scale is more processes.
+does JPEG decode and canvas packing only. Concurrent requests are COALESCED into
+one compiled-batch dispatch (eval/serve.BatchingFrontEnd): the dispatcher drains up
+to --batch-size queued images, waiting at most --max-wait-ms after the first, so
+throughput under concurrency approaches the device batch headline while a lone
+request pays at most the wait budget. Alternatively `--artifact blob.stablehlo`
+serves a tools/export.py fused artifact directly (no model code or weights needed).
 
 New capability: the reference repo has no inference or serving entry point
 (SURVEY.md section 3.3).
@@ -23,7 +26,6 @@ import json
 import logging
 import os
 import sys
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -98,9 +100,34 @@ def build_service(args):
     return service, info
 
 
-def make_server(service, info, host: str = "127.0.0.1", port: int = 0):
-    """ThreadingHTTPServer wired to a DetectorService; port 0 picks a free port."""
-    lock = threading.Lock()  # one device, one compiled program: serialize access
+def build_artifact_service(args):
+    """--artifact path -> (DetectorService.from_artifact, info dict). Everything
+    (params, NMS knobs, batch, canvas) is baked into the StableHLO blob."""
+    import jax
+
+    from ssd_object_detection_tpu.data.coco import COCO_NAMES
+    from ssd_object_detection_tpu.eval.serve import DetectorService
+
+    with open(args.artifact, "rb") as f:
+        blob = f.read()
+    names = COCO_NAMES if args.names == "coco" else None
+    service = DetectorService.from_artifact(blob, label_names=names)
+    info = {
+        "model": os.path.basename(args.artifact),
+        "precision": "artifact",
+        "batch_size": service._batch_size,
+        "device": str(jax.devices()[0]),
+    }
+    return service, info
+
+
+def make_server(service, info, host: str = "127.0.0.1", port: int = 0,
+                max_wait_ms: float = 4.0):
+    """ThreadingHTTPServer wired to a DetectorService through a BatchingFrontEnd;
+    port 0 picks a free port."""
+    from ssd_object_detection_tpu.eval.serve import BatchingFrontEnd, decode_image_bytes
+
+    frontend = BatchingFrontEnd(service, max_wait_ms=max_wait_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -127,8 +154,7 @@ def make_server(service, info, host: str = "127.0.0.1", port: int = 0):
                 return
             data = self.rfile.read(length)
             try:
-                with lock:
-                    dets = service.detect_encoded(data)
+                dets = frontend.submit(decode_image_bytes(data))
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
@@ -137,17 +163,27 @@ def make_server(service, info, host: str = "127.0.0.1", port: int = 0):
         def log_message(self, fmt, *a):  # route through logging, not stderr
             logger.info("%s %s", self.address_string(), fmt % a)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.frontend = frontend  # so owners (tests, bench) can close() it
+    return server
 
 
 def main():
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description="HTTP SSD detection server")
-    p.add_argument("config", type=str)
+    p.add_argument("config", type=str, nargs="?", default=None,
+                   help="model config YAML (omit when using --artifact)")
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve an exported fused StableHLO artifact (tools/export.py "
+                        "--fused) instead of building the model from config+weights")
+    p.add_argument("--names", type=str, default="coco", choices=["coco", "none"],
+                   help="class-name table for --artifact serving")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--max-wait-ms", type=float, default=4.0,
+                   help="request-coalescing window after the first queued request")
     p.add_argument("--score-thresh", type=float, default=0.3)
     p.add_argument("--iou-thresh", type=float, default=0.45)
     p.add_argument("--ptq", action="store_true",
@@ -156,12 +192,18 @@ def main():
                    help="with --ptq: also quantize the loc/conf head convs")
     args = p.parse_args()
 
-    service, info = build_service(args)
+    if args.artifact:
+        service, info = build_artifact_service(args)
+    elif args.config:
+        service, info = build_service(args)
+    else:
+        p.error("either a config YAML or --artifact is required")
     # compile + warm up before accepting traffic
     import numpy as np
 
     service.detect_images([np.zeros((480, 640, 3), np.uint8)])
-    server = make_server(service, info, args.host, args.port)
+    server = make_server(service, info, args.host, args.port,
+                         max_wait_ms=args.max_wait_ms)
     logger.info("serving %s on http://%s:%d", info, *server.server_address)
     server.serve_forever()
 
