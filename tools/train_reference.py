@@ -93,6 +93,14 @@ def main():
     p.add_argument("--max-gt", type=int, default=32)
     p.add_argument("--out", type=str, default="/tmp/ref_parity.json")
     p.add_argument("--save-weights", type=str, default="")
+    p.add_argument(
+        "--save-model", type=str, default="",
+        help="whole-model .h5 save per epoch (the format models/import_keras."
+             "load_reference_ssd_h5 reads, for the trained-weights parity check)")
+    p.add_argument(
+        "--jit-compile", action="store_true",
+        help="XLA-compile the tf train step (identical math, faster on CPU; same "
+             "class of documented deviation as tf.function itself)")
     args = p.parse_args()
 
     import tensorflow as tf
@@ -126,7 +134,7 @@ def main():
     main_opt.build(model.trainable_variables)
     warm_opt.build(model.trainable_variables)
 
-    @tf.function
+    @tf.function(jit_compile=args.jit_compile)
     def train_step(opt, image, gt_cls, gt_box, gt_mask):
         with tf.GradientTape() as tape:
             pred_loc, pred_conf = model(image, training=True)
@@ -189,6 +197,14 @@ def main():
             losses.append(float(train_step(main_opt, image, t_cls, t_loc, t_mask)))
         print(f"epoch {epoch + 1}/{args.epochs}: loss={np.mean(losses):.4f} "
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
+        if args.save_model:
+            # whole-model legacy .h5 per epoch: crash protection for a multi-hour
+            # CPU run AND the artifact load_reference_ssd_h5 imports for the
+            # trained-weights parity check (tools/parity_trained_equiv.py)
+            try:
+                model.save(args.save_model)
+            except Exception as e:  # pragma: no cover
+                print(f"model.save failed (continuing): {e}", flush=True)
 
     if args.save_weights:
         # Keras 3 requires the `.weights.h5` suffix; never let a save error throw
