@@ -192,9 +192,15 @@ def main():
 
     for epoch in range(args.epochs):
         losses = []
+        t_ep = time.time()
         for batch in train_pipe:
             image, t_cls, t_loc, t_mask = to_ref_batch(batch)
             losses.append(float(train_step(main_opt, image, t_cls, t_loc, t_mask)))
+            if len(losses) % 50 == 0:
+                # rate print every 50 steps: a multi-hour CPU run must be
+                # monitorable long before the first 250-step epoch line
+                print(f"  step {len(losses)}: loss={np.mean(losses[-50:]):.4f} "
+                      f"({(time.time() - t_ep) / len(losses):.1f}s/step)", flush=True)
         print(f"epoch {epoch + 1}/{args.epochs}: loss={np.mean(losses):.4f} "
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
         if args.save_model:
