@@ -137,12 +137,25 @@ class DetectorService:
         score_thresh: float = 0.3,
         iou_thresh: float = 0.45,
         label_names: Optional[list] = None,
+        batch_tiers: Optional[Tuple[int, ...]] = None,
         **nms_kwargs,
     ):
         from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
 
         self._params = params
         self._batch_size = int(batch_size)
+        # Batch TIERS: a request of n images runs at the smallest compiled tier
+        # >= n instead of always padding to batch_size. The host->device canvas
+        # transfer is proportional to the dispatched batch (batch 16 x 640x640x3
+        # planar uint8 = 19.7 MB), and over a thin host link that transfer — not
+        # the model — dominates single-request latency (measured: ~1.4 s p50 at
+        # concurrency 1 through HTTP vs ~6 ms of device compute, SERVE_BENCH.json).
+        # Each tier is one extra ahead-of-time compile of the same program.
+        tiers = {self._batch_size}
+        for t in batch_tiers or ():
+            if 1 <= int(t) <= self._batch_size:
+                tiers.add(int(t))
+        self._tiers = sorted(tiers)
         self._canvas_hw = canvas_hw
         self._label_names = label_names
         self._predict = make_fused_predict_fn(
@@ -154,6 +167,17 @@ class DetectorService:
             iou_thresh=iou_thresh,
             **nms_kwargs,
         )
+
+    def _pick_tier(self, n: int) -> int:
+        """Smallest compiled batch tier that fits n images (n <= batch_size)."""
+        return next(t for t in self._tiers if t >= n)
+
+    def warm(self):
+        """Compile every batch tier ahead of traffic (one dummy dispatch each)."""
+        import numpy as np
+
+        for t in self._tiers:
+            self.detect_images([np.zeros((8, 8, 3), np.uint8)] * t)
 
     def _fit_canvas(self, img):
         """Aspect-preserving host downscale of images exceeding the canvas."""
@@ -186,7 +210,7 @@ class DetectorService:
             )
         orig_hw = [img.shape[:2] for img in images]
         fitted = [self._fit_canvas(img) for img in images]
-        pad = self._batch_size - len(fitted)
+        pad = self._pick_tier(len(fitted)) - len(fitted)
         fitted += [np.zeros((8, 8, 3), np.uint8)] * pad
         canvas, sizes = pack_canvas(fitted, self._canvas_hw)
         det = self._predict(self._params, jnp.asarray(canvas), jnp.asarray(sizes))
@@ -239,6 +263,7 @@ class DetectorService:
         self = cls.__new__(cls)
         self._params = None
         self._batch_size = int(batch)
+        self._tiers = [int(batch)]  # the artifact bakes ONE batch shape
         self._canvas_hw = (int(hc), int(wc))
         self._label_names = label_names
         call = exported.call

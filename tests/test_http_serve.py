@@ -66,6 +66,54 @@ def test_short_batch_padding_matches_full(service):
     assert json.dumps(solo) == json.dumps(paired)
 
 
+def test_batch_tiers_match_full_pad(service):
+    """A tiered service (tiers 1,2) returns byte-identical detections to the
+    always-full-pad service: tier selection changes only how much zero padding
+    (and host->device canvas bytes) each request carries, never the results."""
+    model = SSD(num_classes=NUM_CLASSES, spec=TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    tiered = DetectorService(
+        model.apply,
+        params,
+        generate_anchors(TINY_ANCHORS),
+        image_size=64,
+        batch_size=2,
+        canvas_hw=(96, 96),
+        score_thresh=0.05,
+        label_names=[f"class_{i}" for i in range(NUM_CLASSES - 1)],
+        batch_tiers=(1,),
+    )
+    assert tiered._tiers == [1, 2]
+    assert tiered._pick_tier(1) == 1 and tiered._pick_tier(2) == 2
+    tiered.warm()
+
+    def assert_close(a, b):
+        # tier 1 and tier 2 are DIFFERENT compiled programs; XLA may tile their
+        # reductions differently, so scores/boxes agree only to float rounding
+        assert len(a) == len(b)
+        for da, db in zip(a, b):
+            assert da["class_id"] == db["class_id"]
+            assert da["score"] == pytest.approx(db["score"], abs=1e-4)
+            assert da["box_xyxy"] == pytest.approx(db["box_xyxy"], abs=1e-2)
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (48, 96, 3), np.uint8)
+    other = rng.integers(0, 256, (96, 32, 3), np.uint8)
+    assert_close(tiered.detect_images([img])[0],          # dispatches at tier 1
+                 service.detect_images([img])[0])         # pads to batch 2
+    # at the full tier the programs are IDENTICAL -> byte-equal results
+    pair_tiered = tiered.detect_images([img, other])      # dispatches at tier 2
+    pair_full = service.detect_images([img, other])
+    assert json.dumps(pair_tiered) == json.dumps(pair_full)
+
+    # out-of-range tier values are ignored, batch_size tier is always present
+    clamped = DetectorService(
+        model.apply, params, generate_anchors(TINY_ANCHORS), image_size=64,
+        batch_size=2, canvas_hw=(96, 96), batch_tiers=(0, 7, 1),
+    )
+    assert clamped._tiers == [1, 2]
+
+
 def test_oversized_input_downscaled(service):
     """Images exceeding the canvas are host-downscaled, boxes still in the
     ORIGINAL pixel frame."""

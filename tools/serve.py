@@ -91,6 +91,7 @@ def build_service(args):
         score_thresh=args.score_thresh,
         iou_thresh=args.iou_thresh,
         label_names=names,
+        batch_tiers=tuple(int(t) for t in args.batch_tiers.split(",") if t),
     )
     info = {
         "model": cfg.model.variant,
@@ -182,6 +183,11 @@ def main():
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--batch-tiers", type=str, default="1,4",
+                   help="extra compiled batch sizes below --batch-size; a request "
+                        "of n images dispatches at the smallest tier >= n, so the "
+                        "host->device canvas transfer scales with load instead of "
+                        "always paying the full batch")
     p.add_argument("--max-wait-ms", type=float, default=4.0,
                    help="request-coalescing window after the first queued request")
     p.add_argument("--score-thresh", type=float, default=0.3)
@@ -198,10 +204,8 @@ def main():
         service, info = build_service(args)
     else:
         p.error("either a config YAML or --artifact is required")
-    # compile + warm up before accepting traffic
-    import numpy as np
-
-    service.detect_images([np.zeros((480, 640, 3), np.uint8)])
+    # compile + warm every batch tier before accepting traffic
+    service.warm()
     server = make_server(service, info, args.host, args.port,
                          max_wait_ms=args.max_wait_ms)
     logger.info("serving %s on http://%s:%d", info, *server.server_address)

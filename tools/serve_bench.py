@@ -126,6 +126,8 @@ def main():
     p.add_argument("--artifact", type=str, default=None)
     p.add_argument("--names", type=str, default="coco", choices=["coco", "none"])
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-tiers", type=str, default="1,4",
+                   help="extra compiled batch sizes below --batch-size (see tools/serve.py)")
     p.add_argument("--max-wait-ms", type=float, default=4.0)
     p.add_argument("--score-thresh", type=float, default=0.3)
     p.add_argument("--iou-thresh", type=float, default=0.45)
@@ -148,8 +150,8 @@ def main():
     else:
         p.error("either a config YAML or --artifact is required")
 
-    # compile + warm before measuring
-    service.detect_images([np.zeros((480, 640, 3), np.uint8)])
+    # compile + warm every batch tier before measuring
+    service.warm()
     server = make_server(service, info, "127.0.0.1", 0, max_wait_ms=args.max_wait_ms)
     host, port = server.server_address
     srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -177,6 +179,7 @@ def main():
                  "this host's single vCPU, so req/s here is a LOWER bound vs remote "
                  "clients — the client's own JPEG/HTTP work is inside the measurement"),
         "server": {**info, "batch_size": args.batch_size,
+                   "batch_tiers": sorted(getattr(service, "_tiers", [args.batch_size])),
                    "max_wait_ms": args.max_wait_ms,
                    "score_thresh": args.score_thresh},
         "image": "640x480 JPEG (~host decode + on-device resize per request)",
