@@ -148,25 +148,30 @@ def main():
         wu_tx = make_optimizer("adam", polynomial_decay(1e-6, args.warmup, args.lr))
         wu_step_fn = make_train_step(model.apply, anchors, wu_tx, step_cfg)
 
+        # The dataset is a jit ARGUMENT, not a closed-over constant: captured
+        # concrete arrays are baked into the HLO as literals, which at
+        # --num-train 512 x 512^2 px made the serialized program exceed the
+        # axon tunnel's compile-payload limit (HTTP 413). As an argument it
+        # stays device-resident and the program only sees shapes.
         @jax.jit
-        def wu_step(state, i):
-            return wu_step_fn(state, slice_batch(train, i))
+        def wu_step(state, data, i):
+            return wu_step_fn(state, slice_batch(data, i))
 
         state = create_train_state(params, wu_tx)
         for i in range(args.warmup):
-            state, metrics = wu_step(state, jnp.int32(i))
+            state, metrics = wu_step(state, train, jnp.int32(i))
         print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
 
         tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
         step_fn = make_train_step(model.apply, anchors, tx, step_cfg)
 
         @jax.jit
-        def step(state, i):
-            return step_fn(state, slice_batch(train, i))
+        def step(state, data, i):
+            return step_fn(state, slice_batch(data, i))
 
         state = create_train_state(state.params, tx)
         for i in range(args.steps):
-            state, metrics = step(state, jnp.int32(i))
+            state, metrics = step(state, train, jnp.int32(i))
             if (i + 1) % 200 == 0:
                 print(f"step {i+1}/{args.steps}: loss {float(metrics['loss']):.3f}", flush=True)
         train_secs = time.time() - t0
