@@ -164,7 +164,14 @@ def make_server(service, info, host: str = "127.0.0.1", port: int = 0,
         def log_message(self, fmt, *a):  # route through logging, not stderr
             logger.info("%s %s", self.address_string(), fmt % a)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # default listen backlog is 5: a burst of >5 simultaneous connects gets
+        # connection-refused before a worker thread ever sees it (measured: 11
+        # errors at concurrency 32 in SERVE_BENCH_ARTIFACT.json). The coalescing
+        # frontend is the real admission control; accept the burst.
+        request_queue_size = 128
+
+    server = Server((host, port), Handler)
     server.frontend = frontend  # so owners (tests, bench) can close() it
     return server
 
