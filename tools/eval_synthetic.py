@@ -34,6 +34,10 @@ def main():
     p.add_argument("--num-train", type=int, default=256)
     p.add_argument("--num-val", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay-steps", type=int, default=200,
+                   help="ExponentialDecay step interval for the main phase")
+    p.add_argument("--decay-rate", type=float, default=0.97,
+                   help="ExponentialDecay rate for the main phase")
     p.add_argument("--out", type=str, default="EVAL_SYNTHETIC.json")
     p.add_argument("--gate", type=float, default=0.9)
     p.add_argument("--variant", type=str, default="ssd300",
@@ -162,7 +166,9 @@ def main():
             state, metrics = wu_step(state, train, jnp.int32(i))
         print(f"warmup done: loss {float(metrics['loss']):.3f}", flush=True)
 
-        tx = make_optimizer("adam", exponential_decay(args.lr, 200, 0.97))
+        tx = make_optimizer(
+            "adam", exponential_decay(args.lr, args.decay_steps, args.decay_rate)
+        )
         step_fn = make_train_step(model.apply, anchors, tx, step_cfg)
 
         @jax.jit
@@ -242,7 +248,8 @@ def main():
             {"loaded_weights": args.load_weights}
             if args.load_weights
             else {"warmup": args.warmup, "steps": args.steps, "batch_size": bs,
-                  "lr": args.lr, "images": args.num_train, "seconds": round(train_secs, 1)}
+                  "lr": args.lr, "decay": [args.decay_steps, args.decay_rate],
+                  "images": args.num_train, "seconds": round(train_secs, 1)}
         ),
         "val_images": args.num_val,
         "metrics": {k: round(float(v), 4) for k, v in metrics.items()},

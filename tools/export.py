@@ -79,6 +79,12 @@ def main():
     parser.add_argument("--score-thresh", type=float, default=0.01)
     parser.add_argument("--fused", action="store_true",
                         help="fused uint8 contract: detect(canvas_u8, sizes)")
+    parser.add_argument("--tiers", type=str, default=None,
+                        help="with --fused: comma-separated batch tiers (e.g. "
+                        "'1,4,8') to export as ONE multi-tier bundle; serving then "
+                        "dispatches each request at the smallest tier that fits "
+                        "(eval/serve.export_fused_detector_bundle). Overrides "
+                        "--batch-size as the largest tier")
     parser.add_argument("--canvas", type=int, nargs=2, default=(640, 640),
                         metavar=("HC", "WC"), help="canvas extents for --fused")
     parser.add_argument("--ptq", action="store_true",
@@ -91,6 +97,8 @@ def main():
                         "(~9%% faster at batch 32; accuracy gate "
                         "EVAL_SYNTHETIC_PTQ.json ptq_heads)")
     args = parser.parse_args()
+    if args.tiers and not args.fused:
+        parser.error("--tiers requires --fused (bundles hold fused artifacts)")
 
     import jax
     import jax.numpy as jnp
@@ -126,7 +134,16 @@ def main():
         platforms=tuple(args.platforms) if args.platforms else None,
         score_thresh=args.score_thresh,
     )
-    if args.fused:
+    if args.fused and args.tiers:
+        from ssd_object_detection_tpu.eval.serve import export_fused_detector_bundle
+
+        tiers = [int(t) for t in args.tiers.split(",") if t]
+        common.pop("batch_size")
+        blob = export_fused_detector_bundle(
+            apply_fn, export_params, generate_anchors(spec.anchor_spec),
+            batch_tiers=tiers, canvas_hw=tuple(args.canvas), **common,
+        )
+    elif args.fused:
         blob = export_fused_detector(
             apply_fn, export_params, generate_anchors(spec.anchor_spec),
             canvas_hw=tuple(args.canvas), **common,

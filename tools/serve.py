@@ -113,10 +113,19 @@ def build_artifact_service(args):
         blob = f.read()
     names = COCO_NAMES if args.names == "coco" else None
     service = DetectorService.from_artifact(blob, label_names=names)
+    requested = {int(t) for t in args.batch_tiers.split(",") if t}
+    if len(service._tiers) == 1 and requested - set(service._tiers):
+        # ADVICE round-4: --batch-tiers was silently ignored for single-shape
+        # artifacts; every request pads to the one baked batch. Bundles fix this.
+        logger.warning(
+            "--batch-tiers %s ignored: this artifact bakes a single batch shape "
+            "(%d); export a multi-tier bundle (tools/export.py --fused --tiers) "
+            "to serve with batch tiers", args.batch_tiers, service._batch_size,
+        )
     info = {
         "model": os.path.basename(args.artifact),
         "precision": "artifact",
-        "batch_size": service._batch_size,
+        "batch_tiers": service._tiers,
         "device": str(jax.devices()[0]),
     }
     return service, info
@@ -196,7 +205,12 @@ def main():
                         "host->device canvas transfer scales with load instead of "
                         "always paying the full batch")
     p.add_argument("--max-wait-ms", type=float, default=4.0,
-                   help="request-coalescing window after the first queued request")
+                   help="request-coalescing window after the first queued request; "
+                        "dispatch happens EARLY when pending requests exactly fill "
+                        "a compiled batch tier and the queue is empty, so light "
+                        "load does not pay the full window. Note: requests served "
+                        "at different tiers run different compiled programs, so "
+                        "results can vary at float-rounding level with load")
     p.add_argument("--score-thresh", type=float, default=0.3)
     p.add_argument("--iou-thresh", type=float, default=0.45)
     p.add_argument("--ptq", action="store_true",

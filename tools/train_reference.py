@@ -206,9 +206,13 @@ def main():
         if args.save_model:
             # whole-model legacy .h5 per epoch: crash protection for a multi-hour
             # CPU run AND the artifact load_reference_ssd_h5 imports for the
-            # trained-weights parity check (tools/parity_trained_equiv.py)
+            # trained-weights parity check (tools/parity_trained_equiv.py).
+            # Also keep a per-epoch copy so a matched-step mAP curve can be built
+            # (epoch N of batch-8 on 2,000 images = 250*N main-phase steps).
             try:
                 model.save(args.save_model)
+                ep_path = args.save_model.removesuffix(".h5") + f"_ep{epoch + 1}.h5"
+                model.save(ep_path)
             except Exception as e:  # pragma: no cover
                 print(f"model.save failed (continuing): {e}", flush=True)
 
