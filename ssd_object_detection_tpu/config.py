@@ -44,6 +44,11 @@ class AugmentConfig:  # TPU extension: the reference has no augmentation
     expand: bool = False  # SSD-paper zoom-out
     crop: bool = False  # SSD-paper min-IoU sampled patch
     photometric: bool = False
+    # True (default) runs expand/crop/photometric ON DEVICE inside the train step
+    # (ops/augment.py: one affine resample; composes with the packed cache).
+    # False keeps the host numpy recipe (data/augment.py), which needs the
+    # JPEG-decode pipeline and is host-bound (~6x slower on a 1-vCPU host).
+    device: bool = True
 
 
 @dataclasses.dataclass

@@ -38,6 +38,7 @@ from ssd_object_detection_tpu.data.pipeline import CocoPipeline, PipelineConfig
 from ssd_object_detection_tpu.data.synthetic import SyntheticDetectionDataset
 from ssd_object_detection_tpu.models.ssd import MODEL_SPECS, SSD
 from ssd_object_detection_tpu.ops.anchors import generate_anchors
+from ssd_object_detection_tpu.ops.augment import AugConfig
 from ssd_object_detection_tpu.parallel.mesh import make_mesh, replicate
 from ssd_object_detection_tpu.train.optim import (
     exponential_decay,
@@ -123,6 +124,13 @@ class Trainer:
         accum = (
             tr.batch_size // mc.split_train.batch_size if mc.split_train.enable else 1
         )
+        # On-device augmentation (ops/augment.py): when data.augment.device (the
+        # default) and any pre-resize augmentation is requested, the whole recipe
+        # — INCLUDING flip — runs inside the compiled train step, so the data
+        # source stays the fast path (packed cache / memmap reads). Host-side
+        # augmentation (device: false) keeps the numpy recipe in the pipeline.
+        aug = self.cfg.data.augment
+        self._device_augment = aug.device and (aug.expand or aug.crop or aug.photometric)
         step_cfg = StepConfig(
             match_thresh=mc.match_thresh,
             neg_pos_ratio=mc.loss.neg_pos_ratio,
@@ -130,6 +138,12 @@ class Trainer:
             variances=mc.loss.variances,
             accum_steps=accum,
             donate_state=True,  # states are linear through the loop; saves HBM
+            augment=(
+                AugConfig(photometric=aug.photometric, expand=aug.expand,
+                          crop=aug.crop, flip=aug.flip)
+                if self._device_augment else None
+            ),
+            aug_seed=self.cfg.data.seed,
         )
         self.step_cfg = step_cfg
 
@@ -231,15 +245,26 @@ class Trainer:
             d.dataset_root, "train",
             mini_batch=d.mini_batch.num_data if d.mini_batch.enable else 0,
         )
-        if d.packed_cache and (d.augment.expand or d.augment.crop or d.augment.photometric):
+        host_aug = (d.augment.expand or d.augment.crop or d.augment.photometric) and (
+            not self._device_augment
+        )
+        if d.packed_cache and host_aug:
             logger.warning(
-                "data.packed_cache=%r is IGNORED because expand/crop/photometric "
-                "augmentation needs original-resolution pixels: training routes "
-                "through the (much slower) JPEG-decode pipeline. Disable those "
-                "augmentations to use the cache (flip composes with it).",
+                "data.packed_cache=%r is IGNORED because HOST expand/crop/"
+                "photometric augmentation (data.augment.device: false) needs "
+                "original-resolution pixels: training routes through the (much "
+                "slower) JPEG-decode pipeline. Set data.augment.device: true to "
+                "run the recipe on device and keep the cache.",
                 d.packed_cache,
             )
-        if d.packed_cache and not (d.augment.expand or d.augment.crop or d.augment.photometric):
+        if self._device_augment:
+            logger.info(
+                "augmentation runs ON DEVICE inside the train step "
+                "(photometric=%s expand=%s crop=%s flip=%s; ops/augment.py)",
+                d.augment.photometric, d.augment.expand, d.augment.crop,
+                d.augment.flip,
+            )
+        if d.packed_cache and not host_aug:
             # decode-once cache (data/packed.py): pack on first use, then epochs are
             # memmap reads. Pre-resize augmentation needs original pixels -> decode path.
             from ssd_object_detection_tpu.data.packed import (
@@ -263,7 +288,9 @@ class Trainer:
                 d.packed_cache,
                 PackedConfig(
                     batch_size=self.cfg.model.train.batch_size, shuffle=d.shuffle,
-                    augment_flip=d.augment.flip, seed=d.seed,
+                    # flip moves into the compiled step with device augmentation
+                    augment_flip=d.augment.flip and not self._device_augment,
+                    seed=d.seed,
                 ),
             )
         return CocoPipeline(
@@ -276,10 +303,12 @@ class Trainer:
                 seed=d.seed,
                 num_workers=d.num_workers,
                 prefetch=d.prefetch,
-                augment_flip=d.augment.flip,
-                augment_expand=d.augment.expand,
-                augment_crop=d.augment.crop,
-                augment_photometric=d.augment.photometric,
+                # with device augmentation the host pipeline feeds CLEAN resized
+                # images; the whole recipe (incl. flip) runs inside the step
+                augment_flip=d.augment.flip and not self._device_augment,
+                augment_expand=d.augment.expand and not self._device_augment,
+                augment_crop=d.augment.crop and not self._device_augment,
+                augment_photometric=d.augment.photometric and not self._device_augment,
             ),
         )
 

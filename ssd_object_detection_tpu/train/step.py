@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from ssd_object_detection_tpu.losses import LossInfo, multibox_loss
+from ssd_object_detection_tpu.ops.augment import AugConfig, augment_batch
 from ssd_object_detection_tpu.ops.matching import build_targets, default_use_pallas
 from ssd_object_detection_tpu.train.optim import clip_by_norm_per_tensor
 
@@ -63,6 +64,15 @@ class StepConfig:
     # rewritten every step; donation avoids a full copy). Off by default because
     # donated states cannot be reused by the caller (e.g. test fixtures).
     donate_state: bool = False
+    # On-device augmentation (ops/augment.py) applied to the whole batch INSIDE
+    # the compiled step, before target building — photometric/expand/crop/flip as
+    # one affine resample. None = off. Randomness derives from
+    # fold_in(PRNGKey(aug_seed), state.step): deterministic per step, no host rng
+    # feed, and identical across data-parallel replicas of the same global step
+    # (each replica still augments ITS OWN shard differently because the key is
+    # split per image after batch sharding).
+    augment: Optional[AugConfig] = None
+    aug_seed: int = 0
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
@@ -117,6 +127,14 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,) if cfg.donate_state else ())
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if cfg.augment is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.aug_seed), state.step)
+            image, gt_boxes, gt_cls, gt_valid = augment_batch(
+                key, batch["image"], batch["gt_boxes"], batch["gt_cls"],
+                batch["gt_valid"], cfg.augment,
+            )
+            batch = {"image": image, "gt_cls": gt_cls,
+                     "gt_boxes": gt_boxes, "gt_valid": gt_valid}
         if cfg.accum_steps <= 1:
             (_, info), grads = grad_fn(
                 state.params, batch["image"], batch["gt_cls"], batch["gt_boxes"], batch["gt_valid"]
