@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from ssd_object_detection_tpu.models.vgg import VGG16Trunk
 from ssd_object_detection_tpu.ops.anchors import SSD300_SPEC, SSD512_SPEC, AnchorSpec
 
-# One extra-pyramid conv: (features, kernel, stride, padding)
+# One extra-pyramid conv: (features, kernel, stride, padding[, dilation]).
+# Dilation leaves the kernel SHAPE unchanged (checkpoints interchange with the
+# undilated stack) but multiplies the layer's receptive-field contribution —
+# the SSD paper's own dilated-fc6 trick (arXiv:1512.02325 §3).
 ConvSpec = Tuple[int, int, int, str]
 
 
@@ -71,13 +74,25 @@ SSD300_SPEC_MODEL = ModelSpec(
 
 # SSD512 variant (BASELINE.json config #4): 7 taps; deeper pyramid reaches 1x1 via
 # strided SAME convs (512 -> 128 trunk -> 64 -> 32 -> 16 -> 8 -> 4 -> 2 -> 1).
+#
+# Dilations (the round-5 VGG-512 root-cause fix): the reference truncates VGG at
+# block3_conv3, which leaves the pyramid taps with receptive fields of
+# (76, 92, 124, 188) px — enough at 300x300, where the anchor scale set assigns
+# objects of up to (45, 90, 135, 180) px to those taps, but NOT at 512x512, where
+# the same relative scales are (77, 154, 230, 307) px: taps 1-3 could not see the
+# objects they had to localize, and the family plateaued at mAP@0.5 0.844 while
+# ssd512_r34 (a trunk with a far larger RF) scored 1.0 on the same data/recipe
+# (EVAL_SYNTHETIC_SSD512_R34.json; per-level evidence in DIAG_SSD512_LEVELS.json).
+# Dilating extra0 (x2, x3), extra1's 3x3 (x6 — the SSD paper's dilated-fc6,
+# arXiv:1512.02325) and extra2's 3x3 (x2) lifts tap RFs to (124, 220, 284, 348) px
+# — covering every tap's object band — with identical parameter shapes and FLOPs.
 SSD512_SPEC_MODEL = ModelSpec(
     name="ssd512",
     anchor_spec=SSD512_SPEC,
     blocks=(
-        ((512, 3, 1, "SAME"), (512, 3, 1, "SAME"), (512, 1, 1, "SAME")),
-        ((1024, 3, 2, "SAME"), (1024, 1, 1, "SAME")),
-        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+        ((512, 3, 1, "SAME", 2), (512, 3, 1, "SAME", 3), (512, 1, 1, "SAME")),
+        ((1024, 3, 2, "SAME", 6), (1024, 1, 1, "SAME")),
+        ((256, 1, 1, "SAME"), (512, 3, 2, "SAME", 2)),
         ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
         ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
         ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
@@ -103,13 +118,25 @@ SSD300_R34_SPEC_MODEL = ModelSpec(
     ),
 )
 
+# Undilated 512 pyramid tail for the non-VGG trunks: R34/MNV2 passed their 512
+# convergence gates with plain convs (their trunks already have ample receptive
+# field), so their stacks stay exactly as gated.
+_SSD512_PLAIN_TAIL = (
+    ((1024, 3, 2, "SAME"), (1024, 1, 1, "SAME")),
+    ((256, 1, 1, "SAME"), (512, 3, 2, "SAME")),
+    ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+    ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+    ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+    ((128, 1, 1, "SAME"), (256, 3, 2, "SAME")),
+)
+
 # SSD512 on the ResNet-34 trunk: at 512^2 the trunk emits 64x64x256 = SSD512's tap-0
-# resolution, so the strided pyramid is SSD512's blocks[1:] unchanged.
+# resolution, so the strided pyramid is SSD512's tail unchanged.
 SSD512_R34_SPEC_MODEL = ModelSpec(
     name="ssd512_r34",
     anchor_spec=SSD512_SPEC,
     trunk="resnet34",
-    blocks=((),) + SSD512_SPEC_MODEL.blocks[1:],
+    blocks=((),) + _SSD512_PLAIN_TAIL,
 )
 
 # MobileNetV2 backbone family (models/mobilenet.py; SSDLite's trunk with the same
@@ -129,7 +156,7 @@ SSD512_MNV2_SPEC_MODEL = ModelSpec(
     name="ssd512_mnv2",
     anchor_spec=SSD512_SPEC,
     trunk="mobilenetv2",
-    blocks=((),) + SSD512_SPEC_MODEL.blocks[1:],
+    blocks=((),) + _SSD512_PLAIN_TAIL,
 )
 
 MODEL_SPECS = {
@@ -199,12 +226,15 @@ class SSD(nn.Module):
 
         feature_maps = []
         for bi, block in enumerate(self.spec.blocks):
-            for ci, (features, kernel, stride, padding) in enumerate(block):
+            for ci, spec in enumerate(block):
+                features, kernel, stride, padding = spec[:4]
+                dilation = spec[4] if len(spec) > 4 else 1
                 x = nn.Conv(
                     features,
                     kernel_size=(kernel, kernel),
                     strides=(stride, stride),
                     padding=padding,
+                    kernel_dilation=(dilation, dilation),
                     dtype=self.dtype,
                     param_dtype=jnp.float32,
                     name=f"extra{bi}_conv{ci}",

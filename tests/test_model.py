@@ -64,6 +64,61 @@ def test_ssd512_output_shapes():
     assert conf.shape == (1, 24564, 81)
 
 
+def _vgg_pyramid_receptive_fields(spec):
+    """Analytic receptive field (px at input) of each pyramid tap for a VGG-trunk
+    ModelSpec: rf += (k-1)*dilation*jump per conv/pool, jump *= stride."""
+    rf, jump = 1, 1
+    trunk = [(3, 1, 1)] * 2 + [(2, 2, 1)] + [(3, 1, 1)] * 2 + [(2, 2, 1)] \
+        + [(3, 1, 1)] * 3 + [(2, 2, 1)]  # blocks 1-3 + the pre-pyramid maxpool
+    for k, s, d in trunk:
+        rf += (k - 1) * d * jump
+        jump *= s
+    taps = []
+    for block in spec.blocks:
+        for conv in block:
+            _, k, s, pad = conv[:4]
+            d = conv[4] if len(conv) > 4 else 1
+            rf += (k - 1) * d * jump
+            jump *= s
+        taps.append(rf)
+    return taps
+
+
+def test_ssd512_receptive_fields_cover_assigned_object_bands():
+    """Round-5 VGG-512 root cause (DIAG_SSD512_LEVELS.json): the reference's
+    truncated-VGG stack leaves pyramid taps 1-3 with receptive fields SMALLER than
+    the objects the SSD512 anchor scales assign to them (92/124/188 px vs
+    154/230/307 px bands), which capped the family at mAP@0.5 0.844 while
+    ssd512_r34 (large-RF trunk) scored 1.0 on identical data/recipe. The dilated
+    512 pyramid must keep every populated tap's RF >= 0.9x its object band's
+    upper edge; SSD300 (reference-parity stack, passes its gate) bottoms out at
+    0.81 on its tightest tap, so it is held at 0.8."""
+    for spec, n_taps, ratio in (
+        (SSD512_SPEC_MODEL, 4, 0.9), (SSD300_SPEC_MODEL, 4, 0.8)
+    ):
+        rfs = _vgg_pyramid_receptive_fields(spec)
+        scales = spec.anchor_spec.scale_refs  # px; band i tops out at refs[i+1]
+        for i in range(n_taps):
+            upper = scales[i + 1]
+            assert rfs[i] >= ratio * upper, (
+                f"{spec.name} tap {i}: rf {rfs[i]}px < {ratio}x object band {upper}px"
+            )
+
+
+def test_ssd512_dilation_param_shapes_unchanged():
+    """Dilation must not change parameter shapes: a checkpoint trained on the
+    undilated stack loads into the dilated one (and vice versa)."""
+    model = SSD(num_classes=81, spec=SSD512_SPEC_MODEL)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3))
+    )
+    p = shapes["params"]
+    assert p["extra0_conv0"]["kernel"].shape == (3, 3, 256, 512)
+    assert p["extra0_conv1"]["kernel"].shape == (3, 3, 512, 512)
+    assert p["extra1_conv0"]["kernel"].shape == (3, 3, 512, 1024)
+    assert p["extra2_conv1"]["kernel"].shape == (3, 3, 256, 512)
+
+
 def test_head_reshape_order_matches_anchor_order(ssd300_small_batch):
     """The (B,H,W,n*4)->(B,H*W*n,4) reshape must put anchors in y-major, x, then
     per-cell-prior order — the order ops/anchors.py generates. We verify by checking
