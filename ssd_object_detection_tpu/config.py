@@ -63,6 +63,11 @@ class DataConfig:  # config/default.yml:4-11
     seed: int = 0  # TPU extension: shuffle/augmentation seed (reference shuffles unseeded)
     num_workers: int = 8  # TPU extension: host decode threads
     prefetch: int = 4
+    # TPU extension: how many batches device_prefetch keeps in flight on the
+    # device ahead of the consumer (parallel/mesh.py). 1 = classic double
+    # buffering; 2 (default) also hides the host's batch-assembly gap on
+    # high-latency host->device links (a tunneled TPU, a feed-bound pipeline).
+    device_prefetch: int = 2
     # TPU extension: decode-once packed cache dir (data/packed.py). Empty = off.
     # Built on first use; epochs then read uint8 memmaps (no JPEG decode). Ignored
     # when pre-resize augmentation (expand/crop/photometric) is requested.

@@ -51,22 +51,36 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def device_prefetch(iterator, mesh: Optional[Mesh] = None, axis_name: str = "data"):
-    """Yield device-resident batches one step ahead of the consumer.
+def device_prefetch(
+    iterator,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    depth: int = 2,
+):
+    """Yield device-resident batches up to `depth` steps ahead of the consumer.
 
     Overlaps host batch assembly + H2D transfer with device compute (jax.device_put
-    is async): while the train step for batch N runs, batch N+1 is already in flight.
-    With a mesh, batches are sharded along the leading axis; otherwise placed on the
-    default device.
+    is async): while the train step for batch N runs, batches N+1..N+depth are
+    already in flight. Depth > 1 matters on high-latency host->device links (a
+    tunneled TPU, a feed-bound pipeline): one queued transfer hides only compute,
+    two also hide the host's next batch-assembly gap, keeping the link busy
+    end-to-end. With a mesh, batches are sharded along the leading axis; otherwise
+    placed on the default device.
     """
-    pending = None
-    for batch in iterator:
+    from collections import deque
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    def put(batch):
         if mesh is not None:
-            on_device = shard_batch(batch, mesh, axis_name)
-        else:
-            on_device = jax.tree.map(jax.device_put, batch)
-        if pending is not None:
-            yield pending
-        pending = on_device
-    if pending is not None:
-        yield pending
+            return shard_batch(batch, mesh, axis_name)
+        return jax.tree.map(jax.device_put, batch)
+
+    pending = deque()
+    for batch in iterator:
+        pending.append(put(batch))
+        if len(pending) > depth:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()

@@ -505,8 +505,11 @@ class Trainer:
                 bar = None
 
         try:
-            # device_prefetch overlaps H2D transfer of batch N+1 with compute of batch N
-            for jbatch in device_prefetch(tee(batches), self.mesh):
+            # device_prefetch overlaps H2D transfer of the next `device_prefetch`
+            # batches with compute of batch N (depth 2 default: feed-bound hosts)
+            for jbatch in device_prefetch(
+                tee(batches), self.mesh, depth=self.cfg.data.device_prefetch
+            ):
                 batch = host_side.pop(0)
                 state, metrics = step_fn(state, jbatch)
                 # keep the freshest live state for the crash-save path: with

@@ -260,3 +260,43 @@ def test_evaluate_batches_with_mesh_remainder(tiny_setup):
     t1 = evaluate_batches(predict, params, [tail], num_classes=8)
     t8 = evaluate_batches(predict, params, [tail], num_classes=8, mesh=make_mesh(8))
     assert t1 == t8
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_device_prefetch_depth_preserves_order_and_content(depth):
+    """device_prefetch must yield every batch exactly once, in order, as
+    device-resident arrays, at any pipeline depth (config data.device_prefetch)."""
+    from ssd_object_detection_tpu.parallel.mesh import device_prefetch
+
+    batches = [{"x": np.full((8, 4), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh=None, depth=depth))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+    # sharded variant: leading axis split over the mesh, same order guarantee
+    mesh = make_mesh(8)
+    out = list(device_prefetch(iter(batches), mesh=mesh, depth=depth))
+    assert [int(np.asarray(b["x"])[0, 0]) for b in out] == list(range(5))
+    assert all(len(b["x"].sharding.device_set) == 8 for b in out)
+
+
+def test_device_prefetch_runs_ahead_by_depth():
+    """The producer must be pulled `depth` batches ahead of the consumer — that
+    lookahead IS the H2D/compute overlap device_prefetch exists for."""
+    from ssd_object_detection_tpu.parallel.mesh import device_prefetch
+
+    pulled = []
+
+    def src():
+        for i in range(6):
+            pulled.append(i)
+            yield {"x": np.zeros((2,), np.float32)}
+
+    it = device_prefetch(src(), mesh=None, depth=3)
+    next(it)  # first yield: producer has been pulled depth+1 = 4 times
+    assert len(pulled) == 4
+
+    with pytest.raises(ValueError):
+        list(device_prefetch(iter([]), depth=0))
