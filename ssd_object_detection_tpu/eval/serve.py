@@ -180,8 +180,8 @@ class DetectorService:
     Determinism: with batch_tiers, the SAME image can run through differently-sized
     compiled programs depending on concurrent load, so scores/boxes may differ at
     float-rounding level between calls (~1e-4 scores / ~1e-2 px boxes observed —
-    tests/test_serve.py). Serve a single tier if bitwise response stability across
-    load levels matters.
+    tests/test_http_serve.py). Serve a single tier if bitwise response stability
+    across load levels matters.
     """
 
     def __init__(
