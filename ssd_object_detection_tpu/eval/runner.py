@@ -7,6 +7,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, Iterable, Optional
 
+import jax
 import numpy as np
 
 from ssd_object_detection_tpu.eval.coco_map import DetectionEvaluator
@@ -65,10 +66,16 @@ def evaluate_batches(
                 steady_batch = true_b
             images = shard_batch(images, mesh)
         det = predict_fn(params, images)
-        det_boxes = np.asarray(det.boxes)[:true_b]  # (B, K, 4) relative cxcywh
-        det_scores = np.asarray(det.scores)[:true_b]
-        det_classes = np.asarray(det.classes)[:true_b]
-        det_valid = np.asarray(det.valid)[:true_b]
+        # One pytree fetch: device_get overlaps the four copies (one link round
+        # trip), where four sequential np.asarray fetches pay four RTTs per
+        # batch through the axon tunnel (same fix as DetectorService.detect_images).
+        det_boxes, det_scores, det_classes, det_valid = jax.device_get(
+            (det.boxes, det.scores, det.classes, det.valid)
+        )
+        det_boxes = det_boxes[:true_b]  # (B, K, 4) relative cxcywh
+        det_scores = det_scores[:true_b]
+        det_classes = det_classes[:true_b]
+        det_valid = det_valid[:true_b]
 
         batch_size = true_b
         for b in range(batch_size):

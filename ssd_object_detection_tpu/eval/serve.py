@@ -275,10 +275,15 @@ class DetectorService:
         det = self._predict(self._params, jnp.asarray(canvas), jnp.asarray(sizes))
 
         results = []
-        boxes = jax.device_get(det.boxes)  # (B, K, 4) relative cxcywh
-        scores = jax.device_get(det.scores)
-        classes = jax.device_get(det.classes)
-        valid = jax.device_get(det.valid)
+        # ONE pytree fetch, not four: device_get starts copy_to_host_async on
+        # every leaf before blocking, so all four outputs ride the link
+        # concurrently and the request pays ~one device->host round trip. Four
+        # sequential fetches cost four RTTs — measured at ~2.2 s/request through
+        # the axon tunnel vs ~0.6 s batched (the outputs themselves are only a
+        # few KB; the round trip, not bandwidth, is the cost).
+        boxes, scores, classes, valid = jax.device_get(
+            (det.boxes, det.scores, det.classes, det.valid)
+        )  # boxes: (B, K, 4) relative cxcywh
         for i, (h, w) in enumerate(orig_hw):
             keep = valid[i]
             cx, cy, bw, bh = (boxes[i, keep, j] for j in range(4))
