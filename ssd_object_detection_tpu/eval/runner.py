@@ -46,6 +46,12 @@ def evaluate_batches(
         from ssd_object_detection_tpu.parallel.mesh import replicate
 
         params = replicate(params, mesh)
+    else:
+        # Commit params to device ONCE. Weights loaded from msgpack are host
+        # numpy arrays, and jit re-transfers numpy arguments on EVERY call —
+        # at eval batch rate that re-ships the whole parameter tree per batch
+        # (~1 s/batch over the tunnel). No-op for already-committed arrays.
+        params = jax.device_put(params)
     evaluator = DetectionEvaluator(num_classes=num_classes)
     n = 0
     for batch in batches:

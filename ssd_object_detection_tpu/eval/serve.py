@@ -201,7 +201,14 @@ class DetectorService:
     ):
         from ssd_object_detection_tpu.eval.predict import make_fused_predict_fn
 
-        self._params = params
+        # Commit params to device ONCE. Weights arrive here as host numpy
+        # arrays (flax serialization.from_bytes), and jit does NOT cache
+        # argument transfers: every detect call would re-ship the full
+        # parameter tree host->device (~100 MB bf16 SSD300 ≈ ~1 s/request over
+        # the tunnel — the mechanism behind round-4's unexplained 3.5-4x
+        # live-vs-artifact req/s gap, SERVE_BENCH_V2.json before/after rows).
+        # device_put on already-committed arrays is a no-op.
+        self._params = jax.device_put(params)
         self._batch_size = int(batch_size)
         # Batch TIERS: a request of n images runs at the smallest compiled tier
         # >= n instead of always padding to batch_size. The host->device canvas
